@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect, no disk write) — the number measures the distributed
+plan, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entrymod
+    from gibbon_spark.session import get_spark
+
+    spark = get_spark("gibbon_spark_bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers so per-query numbers measure the plan
+    qs["ts_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,370 @@
+"""Time-series operators — the reference's whole query surface, Spark-first.
+
+The reference's queries are five full-stream scan-aggregates executed by
+streaming decode (``examples/csv_to_packed.rs:36-76``): max/min/count/avg
+of value and max timestamp. Its codecs are lag-shaped transforms over a
+per-series ordered stream: delta and delta-of-delta of timestamps
+(``src/timestamp_stream.rs:29-67``) and XOR of consecutive IEEE-754
+value bits (``src/double_stream.rs:33-82``). Here each becomes a
+declarative DataFrame plan:
+
+- aggregates → ``groupBy().agg`` (Catalyst emits partial+final hash
+  aggregation inside whole-stage codegen; at cluster scale the partial
+  side runs map-local, so the shuffle carries one row per group per task),
+- lag-shaped transforms → window functions over
+  ``Window.partitionBy(series).orderBy(ts)`` (one shuffle on the series
+  key; within a 100 TB table each series' points co-locate, which is the
+  same data placement Gorilla's per-series blocks impose).
+
+Scale notes are given per operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization: any table -> the engine's canonical stream schema
+# (series_id string, ts timestamp, value double) — SURVEY.md §1.3 / FIXTURES.md F1.
+# ---------------------------------------------------------------------------
+
+
+def as_timeseries(
+    df: DataFrame,
+    *,
+    series: Sequence[str] | None = None,
+    ts: str = "ts",
+    value: str = "value",
+    second_granularity: bool = True,
+) -> DataFrame:
+    """Normalize to ``(series_id, ts, value)``.
+
+    ``second_granularity`` truncates ts to whole seconds, mirroring the
+    reference's seconds-only design assumption (``timestamp_stream.rs:1-4``:
+    millisecond timestamps "would compress poorly").
+    """
+    series = list(series or [])
+    if series:
+        sid = F.concat_ws("/", *[F.col(c).cast("string") for c in series])
+    else:
+        sid = F.lit("default")
+    ts_col = F.col(ts)
+    if second_granularity:
+        ts_col = F.date_trunc("second", ts_col)
+    return df.select(
+        sid.alias("series_id"),
+        ts_col.alias("ts"),
+        F.col(value).cast("double").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan-aggregate queries (reference operators #15-#21)
+# ---------------------------------------------------------------------------
+
+
+def summary(df: DataFrame, *, value: str = "value", ts: str = "ts") -> DataFrame:
+    """The reference's five aggregates in one pass.
+
+    ``csv_to_packed.rs:36-76`` decodes the stream five times, once per
+    aggregate; a columnar engine computes all five in a single scan with
+    O(1) aggregation state per task (partial aggregates combine map-side,
+    so at 100 TB the shuffle moves 5 numbers per task, not rows).
+    """
+    return df.agg(
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.avg(value).alias("avg_value"),
+        F.max(ts).alias("max_ts"),
+    )
+
+
+def summary_by_series(
+    df: DataFrame, keys: Sequence[str], *, value: str = "value", ts: str = "ts"
+) -> DataFrame:
+    """Per-series scan-aggregate — the reference's caller-side key→stream
+    map (SURVEY.md §1.1 item 4) expressed as groupBy. One shuffle on the
+    series key; partial aggregation makes it skew-tolerant (AQE splits
+    hot keys)."""
+    return df.groupBy(*keys).agg(
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.avg(value).alias("avg_value"),
+        F.max(ts).alias("max_ts"),
+    )
+
+
+def range_scan(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    start=None,
+    end=None,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Time-range scan. The reference can only skip whole 2-h blocks by
+    header time (``csv_to_packed.rs:17``); here the filter is pushed into
+    the parquet scan (row-group stats + partition pruning on a bucketed
+    layout — see sources/bucketed.py), which subsumes block addressing."""
+    out = df
+    if start is not None:
+        out = out.filter(F.col(ts) >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col(ts) < F.lit(end))
+    if predicate is not None:
+        out = out.filter(predicate)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lag-shaped analytics (the codec math as queryable functions, #4 / #7)
+# ---------------------------------------------------------------------------
+
+
+def _series_window(series: Sequence[str], ts: str, *order_tiebreak: str):
+    return Window.partitionBy(*series).orderBy(ts, *order_tiebreak)
+
+
+def with_delta(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """delta = ts - lag(ts) per series — the quantity the timestamp codec
+    encodes (``timestamp_stream.rs:40``). Equal/duplicate timestamps are
+    legal and yield delta 0 (``time_and_value_stream.rs:86-87``); pass a
+    ``tiebreak`` column to make window order deterministic under dupes."""
+    w = _series_window(series, ts, *tiebreak)
+    prev = F.lag(F.col(ts)).over(w)
+    return df.withColumn(
+        "delta", (F.unix_timestamp(ts) - F.unix_timestamp(prev)).cast("long")
+    )
+
+
+def with_delta_of_delta(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """dod = delta - lag(delta) (``timestamp_stream.rs:41``). Negative dod
+    is legal (out-of-order-ish deltas, ``time_and_value_stream.rs:86``)."""
+    out = with_delta(df, series, ts=ts, tiebreak=tiebreak)
+    w = _series_window(series, ts, *tiebreak)
+    return out.withColumn("dod", (F.col("delta") - F.lag("delta").over(w)).cast("long"))
+
+
+def with_value_xor(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """xor = bits(value) XOR bits(lag(value)) — the double codec's core
+    (``double_stream.rs:42``). IEEE-754 bit extraction is done JVM-side
+    with no UDF: for finite doubles, ``hex(value_as_binary_via_md5)`` is
+    unavailable, but Spark exposes the bit pattern through
+    ``bin``/``conv`` only for integers — so we reinterpret via
+    ``double→bigint`` punning using ``F.expr("cast(... as ...)")`` is
+    lossy. Instead we use the documented-stable trick: encode the double
+    into its 8-byte big-endian IEEE form via ``to_binary(hex(...))`` is
+    not available either; therefore this one transform uses a vectorized
+    Arrow-batched pandas UDF (numpy ``view('int64')``) — the sanctioned
+    slow-path (SURVEY.md §4.3) — and the XOR itself stays JVM-side.
+    """
+    from gibbon_spark.functions.bits import double_bits
+
+    w = _series_window(series, ts, *tiebreak)
+    bits = double_bits(F.col(value))
+    out = df.withColumn("_bits", bits)
+    return (
+        out.withColumn("value_xor", F.col("_bits").bitwiseXOR(F.lag("_bits").over(w)))
+        .withColumn("xor_leading_zeros", _leading_zeros64(F.col("value_xor")))
+        .drop("_bits")
+    )
+
+
+def _leading_zeros64(col: Column) -> Column:
+    """Leading zeros of a 64-bit pattern, JVM-side: 63 - floor(log2(x))
+    for x>0, 64 for x=0, 0 for negative (sign bit set)."""
+    as_double = col.cast("double")
+    return (
+        F.when(col == 0, F.lit(64))
+        .when(col < 0, F.lit(0))
+        .otherwise(63 - F.floor(F.log2(as_double)))
+        .cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketing / resampling / gap fill
+# ---------------------------------------------------------------------------
+
+
+def with_bucket(df: DataFrame, *, ts: str = "ts", width: str = "2 hours") -> DataFrame:
+    """Add the Gorilla block key: 2-hour aligned window start
+    (``csv_to_packed.rs:17`` — ``(t / 7200) * 7200`` seconds). Used as the
+    parquet partition column so time-range queries prune partitions."""
+    return df.withColumn("bucket", F.window(F.col(ts), width).start)
+
+
+def resample(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    every: str = "1 hour",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Tumbling-window downsample: per key per window min/max/count/avg.
+    This is the canonical TSDB rollup; the tumbling window start is
+    computed map-side (pure projection) so the only shuffle is the
+    groupBy, with partial aggregation."""
+    win = F.window(F.col(ts), every)
+    return (
+        df.groupBy(*keys, win.alias("win"))
+        .agg(
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.avg(value).alias("avg_value"),
+        )
+        .withColumn("bucket_start", F.col("win").start)
+        .drop("win")
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid gap fill with forward fill.
+
+    Per series: build the full grid between min(ts) and max(ts) with
+    ``sequence()`` + ``explode`` (no driver loop — the grid is generated
+    distributed, one row per series in, grid rows out), left-join the
+    observed points, then forward-fill with ``last(value, ignorenulls)``
+    over an unbounded-preceding window. Two shuffles (grid join + window)
+    both on the series key, so AQE can reuse the partitioning.
+    """
+    grid = (
+        df.groupBy(*series)
+        .agg(F.min(ts).alias("_t0"), F.max(ts).alias("_t1"))
+        .select(
+            *series,
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr(f"interval {step}"))
+            ).alias("grid_ts"),
+        )
+    )
+    # snap observations to the grid step, keep last value per slot
+    snapped = df.select(
+        *series,
+        F.date_trunc(_trunc_unit(step), F.col(ts)).alias("grid_ts"),
+        F.col(value).alias("_v"),
+        F.col(ts).alias("_ts"),
+    )
+    w_slot = Window.partitionBy(*series, "grid_ts").orderBy(F.col("_ts").desc())
+    slot_last = (
+        snapped.withColumn("_rn", F.row_number().over(w_slot))
+        .filter(F.col("_rn") == 1)
+        .select(*series, "grid_ts", F.col("_v").alias("slot_value"))
+    )
+    joined = grid.join(slot_last, [*series, "grid_ts"], "left")
+    w_ffill = (
+        Window.partitionBy(*series)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        "filled_value", F.last("slot_value", ignorenulls=True).over(w_ffill)
+    )
+
+
+def _trunc_unit(step: str) -> str:
+    s = step.strip().lower()
+    for unit in ("hour", "minute", "second", "day", "week"):
+        if unit in s:
+            return unit
+    raise ValueError(f"unsupported gap_fill step: {step}")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (standard TSDB op; absent in reference — SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    ts: str = "ts",
+    right_value_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, the most recent right row with ``right.ts <=
+    left.ts`` and equal keys.
+
+    Implemented with the union-and-forward-fill strategy rather than a
+    range join: tag both sides, union, then one window pass per key
+    ordered by (ts, side) forward-fills the latest right values onto left
+    rows. Exactly ONE shuffle on the join key and no row explosion —
+    this is the strategy that survives 100 TB, where a naive
+    range-condition join degenerates to a broadcast-nested-loop or an
+    exploding theta join.
+    """
+    on = list(on)
+    rv = list(
+        right_value_cols
+        or [c for c in right.columns if c not in on and c != ts]
+    )
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumns(
+        {f"{c}{suffix}": F.lit(None).cast(right.schema[c].dataType) for c in rv}
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(ts).alias(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rv],
+    ).withColumn("_side", F.lit(0))
+    left_only = [c for c in l_tagged.columns if c not in r_tagged.columns]
+    r_full = r_tagged.withColumns(
+        {c: F.lit(None).cast(l_tagged.schema[c].dataType) for c in left_only}
+    )
+    unioned = r_full.select(*l_tagged.columns).unionByName(l_tagged)
+    # right rows sort before left rows at the same ts (_side 0 < 1), so a
+    # right row AT the left ts is visible to it ("<=" semantics).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in rv}
+    ).withColumn(f"{ts}{suffix}", F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+# ---------------------------------------------------------------------------
+# Top-k
+# ---------------------------------------------------------------------------
+
+
+def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k via orderBy+limit — Catalyst plans TakeOrderedAndProject
+    (per-partition heap then driver merge of k rows, no full sort)."""
+    return df.orderBy(*order_by).limit(k)

@@ -1,0 +1,439 @@
+"""Query registry — the driver contract (SURVEY.md §2 inventory).
+
+Each entry pairs a Spark DataFrame plan with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables. Conventions that keep the
+value-hash comparison exact:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are ``round()``-ed identically on both sides (sums
+  to 2 dp, averages/ratios to 6 dp) so parallel-vs-serial association
+  order cannot flip the hash;
+- window orderings always carry a unique tiebreak column;
+- session timezone is pinned to UTC inside each query so timestamp
+  semantics match DuckDB's naive timestamps regardless of the caller's
+  session defaults.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gibbon_spark.operators import timeseries as ts_ops
+from gibbon_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query function and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Pin UTC (driver may hand us a session with another tz) and load tables."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# =========================================================================
+# Time-series surface (reference operators #13-#22, SURVEY.md §2.1)
+# =========================================================================
+
+
+@query(
+    "ts_summary",
+    """
+    SELECT min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value,
+           max(ts) AS max_ts
+    FROM events
+    """,
+)
+def q_ts_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's five scan-aggregates in one pass
+    (``examples/csv_to_packed.rs:36-76``): min/max/count/avg over value,
+    max over ts. One scan, partial+final hash agg, whole-stage codegen."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return ts_ops.summary(events).withColumn(
+        "avg_value", F.round("avg_value", 6)
+    )
+
+
+@query(
+    "ts_summary_by_series",
+    """
+    SELECT event_type,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value,
+           max(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_ts_summary_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series aggregates — the caller-side key→stream map of the
+    reference (SURVEY.md §1.1) as a groupBy. Shuffles once on the series
+    key with map-side partial aggregation."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return ts_ops.summary_by_series(events, ["event_type"]).withColumn(
+        "avg_value", F.round("avg_value", 6)
+    )
+
+
+@query(
+    "ts_delta",
+    """
+    SELECT event_id,
+           user_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS delta
+    FROM events
+    """,
+)
+def q_ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta = ts - lag(ts) per series, seconds granularity — the
+    quantity the timestamp codec encodes (``timestamp_stream.rs:40``)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.with_delta(events, ["user_id"], tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "delta")
+
+
+@query(
+    "ts_delta_of_delta",
+    """
+    WITH d AS (
+      SELECT event_id, user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS delta,
+             ts
+      FROM events
+    )
+    SELECT event_id, user_id, delta,
+           delta - lag(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dod
+    FROM d
+    """,
+)
+def q_ts_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-of-delta per series (``timestamp_stream.rs:41``); negative
+    dod is legal (``time_and_value_stream.rs:86``)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.with_delta_of_delta(events, ["user_id"], tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "delta", "dod")
+
+
+@query(
+    "ts_bucket_2h",
+    """
+    SELECT time_bucket(INTERVAL '2 hours', ts) AS bucket_start,
+           event_type,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_bucket_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gorilla 2-hour block (``csv_to_packed.rs:17``) as a tumbling
+    window rollup. Window start is computed map-side; one shuffle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours").start.alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "ts_resample_1h",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to hourly per-series stats — canonical TSDB rollup."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.resample(events, ["event_type"], every="1 hour")
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "min_value",
+        "max_value",
+        "n_samples",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+@query(
+    "ts_range_scan",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND event_type = 'click'
+    """,
+)
+def q_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range + predicate scan. The filter reaches the parquet reader
+    (PushedFilters) — subsumes the reference's whole-block header-time
+    addressing, the only skipping it supports (SURVEY.md §3.2)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.range_scan(
+        events,
+        start="2024-01-08 00:00:00",
+        end="2024-01-15 00:00:00",
+        predicate=F.col("event_type") == "click",
+    )
+    return out.select("event_id", "ts", "user_id", "value")
+
+
+@query(
+    "ts_topk_series",
+    """
+    SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k series by activity. Catalyst plans TakeOrderedAndProject:
+    per-partition heaps then a k-row driver merge — no full sort at scale."""
+    (events,) = _prep(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return ts_ops.topk(agg, [F.col("n_events").desc(), F.col("user_id")], 10)
+
+
+@query(
+    "ts_compression_stats",
+    """
+    SELECT count(*) AS n_samples, count(*) * 16 AS raw_bytes
+    FROM events
+    """,
+)
+def q_ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compression-stats query numerator: raw size at
+    16 B/row (u64 ts + f64 value, ``csv_to_packed.rs:109-113``). The
+    compressed side is a storage metric (sum of parquet bytes) exposed by
+    ``gibbon_spark.sources.bucketed.compression_stats``."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        (F.count(F.lit(1)) * F.lit(16)).alias("raw_bytes"),
+    )
+
+
+# =========================================================================
+# Relational surface (SURVEY.md §2.2 matrix — joins/agg/window/sort/setops)
+# =========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filtered scan + 8-way aggregate.
+    Entirely whole-stage-codegen'd; the shuffle carries one row per
+    (returnflag, linestatus) group per task."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → joins → agg → top-k.
+    customer and orders are small relative to lineitem, so Catalyst
+    broadcasts them (hinted explicitly — at 100 TB the customer side of a
+    filtered segment still fits the 10 MB-1 GB broadcast budget; if it
+    ever doesn't, AQE falls back to sort-merge on the shuffled key)."""
+    customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey, "inner")
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return ts_ops.topk(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT r.r_name,
+           n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact (lineitem) joined to a broadcast
+    dim chain. The dims pre-join driver-free into one broadcast relation,
+    so the fact table is scanned once with zero shuffles before the final
+    aggregation."""
+    li, orders, customer, nation, region = _prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    dims = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    ords = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_name", "r_name"
+    )
+    joined = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "orders_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort+limit → TakeOrderedAndProject (no full sort)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return ts_ops.topk(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        25,
+    )
+
+
+@query(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n via row_number window — one shuffle on the
+    partition key; Spark's WindowGroupLimit pushes the rn<=3 limit into
+    the sort at scale."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )

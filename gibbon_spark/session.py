@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` in one JVM, but every
+config below is chosen so the same code runs unchanged on a large
+cluster: AQE handles runtime re-planning and skew; shuffle partition
+count is sized to cores locally and should be overridden (or left to
+AQE coalescing) on a real cluster; Arrow is on for the few Pandas-UDF
+paths; session timezone is pinned to UTC so timestamp semantics match
+the oracle (DuckDB) and are portable across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "gibbon_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Defaults matter at 100 TB:
+    - AQE + coalesce + skew-join: runtime re-planning replaces hand
+      tuning; skewed join keys are split automatically.
+    - ``autoBroadcastJoinThreshold`` left at default (10 MB) so small
+      dims (region/nation/customer at test SF) broadcast; large-side
+      joins fall back to sort-merge on the shuffled key.
+    - ``maxPartitionBytes`` 128 MB: scan tasks sized to fit executor
+      memory with room for shuffle buffers.
+    - Parquet ZSTD: plays the Gorilla-compression role at the storage
+      layer (SURVEY.md §1.3).
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

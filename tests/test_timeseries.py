@@ -1,0 +1,149 @@
+"""Unit tests for time-series operators on tiny hand-built frames.
+
+Pinned semantics come from the reference's test suite (FIXTURES.md):
+- duplicate timestamps are legal rows, delta 0, negative dod
+  (time_and_value_stream.rs:78-99);
+- delta/dod values for the canonical sequences F2;
+- as-of join takes the latest right row at-or-before each left ts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gibbon_spark.operators.timeseries import (
+    as_timeseries,
+    asof_join,
+    gap_fill,
+    resample,
+    summary,
+    with_bucket,
+    with_delta,
+    with_delta_of_delta,
+    with_value_xor,
+)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def _series_df(spark, points, series="s1"):
+    return spark.createDataFrame(
+        [(series, _ts(t), float(v), i) for i, (t, v) in enumerate(points)],
+        "series_id string, ts timestamp, value double, seq int",
+    )
+
+
+def test_delta_and_dod_int_less_than_64(spark):
+    # FIXTURES.md F2 `int_less_than_64`: ts 1,2,3,4,4,4,6 — dupes legal,
+    # delta hits 0, dod goes negative (time_and_value_stream.rs:78-99).
+    df = _series_df(spark, [(t, 0) for t in [1, 2, 3, 4, 4, 4, 6]])
+    out = (
+        with_delta_of_delta(df, ["series_id"], tiebreak=["seq"])
+        .orderBy("seq")
+        .select("delta", "dod")
+        .collect()
+    )
+    assert [r.delta for r in out] == [None, 1, 1, 1, 0, 0, 2]
+    assert [r.dod for r in out] == [None, None, 0, 0, -1, 0, 2]
+
+
+def test_delta_all_steps(spark):
+    # FIXTURES.md F2 `int_all_steps`: 1,51,251,1251,11251 → dod 49/150/800/9000
+    df = _series_df(spark, [(t, 0) for t in [1, 51, 251, 1251, 11251]])
+    out = (
+        with_delta_of_delta(df, ["series_id"], tiebreak=["seq"])
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r.dod for r in out][2:] == [150, 800, 9000]
+    assert [r.delta for r in out][1:] == [50, 200, 1000, 10000]
+
+
+def test_summary_matches_reference_aggregates(spark):
+    pts = [(10005, 0.34), (10065, 0.35), (10124, 0.72), (10247, 0.42), (10365, 1.12)]
+    df = _series_df(spark, pts)
+    row = summary(df).collect()[0]
+    assert row.min_value == 0.34
+    assert row.max_value == 1.12
+    assert row.n_samples == 5
+    assert abs(row.avg_value - sum(v for _, v in pts) / 5) < 1e-12
+    assert row.max_ts == _ts(10365)
+
+
+def test_value_xor_repeat_is_zero(spark):
+    # Repeated identical values → xor 0 (double_stream.rs:172-190 all_zeros)
+    df = _series_df(spark, [(i * 60, 7.25) for i in range(4)])
+    out = (
+        with_value_xor(df, ["series_id"], tiebreak=["seq"]).orderBy("seq").collect()
+    )
+    assert [r.value_xor for r in out] == [None, 0, 0, 0]
+    assert [r.xor_leading_zeros for r in out][1:] == [64, 64, 64]
+
+
+def test_value_xor_new_window(spark):
+    # 0.0 → 1.0: xor = bits(1.0) = 0x3FF0...0, 2 leading zeros
+    # (double_stream.rs:192-206 new_window golden vector)
+    df = _series_df(spark, [(0, 0.0), (60, 1.0)])
+    out = with_value_xor(df, ["series_id"], tiebreak=["seq"]).orderBy("seq").collect()
+    assert out[1].value_xor == 0x3FF0000000000000
+    assert out[1].xor_leading_zeros == 2
+
+
+def test_bucket_2h_alignment(spark):
+    df = _series_df(spark, [(3 * 3600 + 15, 1.0)])  # 03:00:15 → bucket 02:00
+    row = with_bucket(df).collect()[0]
+    assert row.bucket == dt.datetime(2024, 1, 1, 2, 0, 0)
+
+
+def test_as_timeseries_truncates_to_seconds(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 1, 500000), 2.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    row = as_timeseries(df, series=["user_id"]).collect()[0]
+    assert row.series_id == "1"
+    assert row.ts == dt.datetime(2024, 1, 1, 0, 0, 1)
+
+
+def test_asof_join_takes_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(100), 1.0), ("a", _ts(200), 2.0), ("b", _ts(100), 3.0)],
+        "k string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(50), 10.0), ("a", _ts(100), 20.0), ("a", _ts(150), 30.0),
+         ("b", _ts(300), 40.0)],
+        "k string, ts timestamp, rv double",
+    )
+    out = {
+        (r.k, r.ts): (r.rv_right, r.ts_right)
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    # at-or-before: left a@100 sees right a@100 (not a@50)
+    assert out[("a", _ts(100))] == (20.0, _ts(100))
+    assert out[("a", _ts(200))] == (30.0, _ts(150))
+    assert out[("b", _ts(100))] == (None, None)
+
+
+def test_gap_fill_forward_fills(spark):
+    df = _series_df(spark, [(0, 1.0), (7200, 3.0)])  # hourly grid, 1h gap
+    out = (
+        gap_fill(df, ["series_id"], step="1 hour")
+        .orderBy("grid_ts")
+        .select("grid_ts", "filled_value")
+        .collect()
+    )
+    assert [r.filled_value for r in out] == [1.0, 1.0, 3.0]
+    assert out[1].grid_ts == _ts(3600)
+
+
+def test_resample_counts(spark):
+    df = _series_df(spark, [(0, 1.0), (1800, 3.0), (3600, 5.0)])
+    out = resample(df, ["series_id"], every="1 hour").orderBy("bucket_start").collect()
+    assert [r.n_samples for r in out] == [2, 1]
+    assert out[0].avg_value == 2.0

@@ -1,0 +1,131 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares: row count, column
+names, and values (columns sorted by name, rows sorted by all columns,
+exact equality — floats must match bit-for-bit, which the registry's
+round() discipline guarantees).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize tz-aware → naive UTC, and numpy dtypes → python for stable sort
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    s, d = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    if list(s.columns) != list(d.columns):
+        problems.append(f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")
+        return problems
+    if len(s) != len(d):
+        problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return problems
+    for c in s.columns:
+        sc, dc = s[c], d[c]
+        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
+            sc = sc.astype("float64")
+            dc = dc.astype("float64")
+            neq = ~((sc == dc) | (sc.isna() & dc.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diff = (sc - dc).abs().max()
+                problems.append(
+                    f"float col {c}: {int(neq.sum())} mismatches, max abs diff "
+                    f"{diff!r}, first at row {i}: spark={sc[i]!r} duck={dc[i]!r}"
+                )
+        else:
+            eq = (sc == dc) | (sc.isna() & dc.isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={sc[i]!r} duck={dc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from gibbon_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duck_connection(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
