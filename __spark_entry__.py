@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gibbon_spark import queries as _registry  # noqa: E402
+import gibbon_spark.queries_llm  # noqa: E402,F401  (registers LLM-pipeline queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,351 @@
+"""Deduplication operators for LLM data pipelines (north-star additions):
+
+- exact dedup: hash-groupBy on a normalized fingerprint;
+- n-gram Jaccard: exact set similarity via shingle inverted-index join;
+- MinHash + LSH: the 100 TB path — constant-size signatures, banded
+  bucket join, no all-pairs comparison;
+- SimHash: 16-bit simhash with banded hamming join.
+
+Hash-function choice: md5 (via ``F.md5``) keyed by a seed prefix. md5 is
+available with identical semantics in Spark and DuckDB, which makes every
+operator here *bit-deterministic across engines* — the DuckDB oracle can
+replay the exact same MinHash/SimHash computation, so even the
+probabilistic operators get full value-hash correctness checks (most
+LSH implementations can only be rows-checked).
+
+MinHash variant: "min of k independent hashes", taking the lexicographic
+min of the hex digest per seed — any total order over a uniform hash
+family yields the classic unbiased Jaccard estimator.
+
+Scale notes: the shingle inverted index (explode → join on shingle) is
+quadratic in hot shingles and exists for exactness at test SF; the LSH
+band join shuffles each doc k/r times by band key and meets only true
+candidates — that is the operator to run at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gibbon_spark.functions.text import fingerprint, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by normalized-text fingerprint; one row per distinct content
+    with the representative (min id) and copy count. ``dropDuplicates``
+    semantics, but keeps the evidence columns. One shuffle on the hash."""
+    return (
+        docs.withColumn("content_hash", fingerprint(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per content hash (deterministic,
+    unlike dropDuplicates which keeps an arbitrary row)."""
+    w_hash = fingerprint(text_col)
+    tagged = docs.withColumn("content_hash", w_hash)
+    reps = tagged.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return tagged.join(reps, ["content_hash", id_col], "inner").drop("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def shingle_table(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Inverted-index join: |intersection| from the shingle self-join,
+    |union| = |A|+|B|−|∩|. Exact but explodes on hot shingles — at scale
+    use :func:`minhash_lsh_pairs` to generate candidates first.
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """k MinHash components per doc: for seed i, min over shingles of
+    md5(i || ':' || shingle) (lexicographic min of hex digests). One
+    explode + one groupBy; signature size is O(k) regardless of doc size."""
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, *, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_hashes); docs
+    sharing any full band become candidates. est_sim = fraction of equal
+    signature components (the unbiased Jaccard estimate).
+
+    Shuffle profile at scale: each doc emits `bands` rows keyed by
+    (band_idx, band_hash); join meets only same-bucket docs. No O(n²)."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        F.col("id"),
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"sig_{b * r + j}") for j in range(r)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(sigs.columns.__len__() - 1))
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+) -> DataFrame:
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    return pairs.filter(F.col("est_jaccard") >= min_est)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit over 3-gram shingles, md5-nibble construction shared
+# with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 chunks × 8 bits
+
+
+def _hexval_sql(char_expr: str) -> str:
+    """SQL for hex-digit value 0-15 — valid in both Spark SQL and DuckDB."""
+    return (
+        f"(CASE WHEN {char_expr} BETWEEN '0' AND '9' "
+        f"THEN ascii({char_expr}) - 48 ELSE ascii({char_expr}) - 87 END)"
+    )
+
+
+def simhash_bit_terms(token_expr: str = "token", bits: int = SIMHASH_BITS) -> list[str]:
+    """SQL sum-terms (one per bit, MSB first), each counting +1/-1 per
+    token by the corresponding bit of md5(token)'s leading hex chars.
+    The strings are dialect-portable (ascii/substr/CASE/&) so the exact
+    same computation runs in Spark and in the DuckDB oracle.
+
+    32 bits over shingles (not raw tokens): shingle sets separate
+    non-duplicate docs far better than token sets, and 32 bits keeps
+    birthday collisions negligible for millions of docs while the
+    combine still fits comfortably in a signed 64-bit int."""
+    terms = []
+    for bit in range(bits):
+        nibble_idx = bit // 4 + 1  # 1-indexed hex char
+        mask = 8 >> (bit % 4)
+        nib = f"substr(md5({token_expr}), {nibble_idx}, 1)"
+        v = _hexval_sql(nib)
+        terms.append(f"sum(CASE WHEN ({v} & {mask}) <> 0 THEN 1 ELSE -1 END)")
+    return terms
+
+
+def simhash_combine_sql(term_cols: Sequence[str]) -> str:
+    """Combine per-bit vote sums (MSB first) into the simhash integer."""
+    bits = len(term_cols)
+    parts = [
+        f"(CASE WHEN {c} >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i, c in enumerate(term_cols)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, simhash) — majority vote per bit over distinct n-gram shingles."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("token"),
+    )
+    terms = simhash_bit_terms("token")
+    agg = tok.groupBy("id").agg(
+        *[F.expr(t).alias(f"b{i}") for i, t in enumerate(terms)]
+    )
+    combine = simhash_combine_sql([f"b{i}" for i in range(SIMHASH_BITS)])
+    return agg.select("id", F.expr(combine).cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Banded join, not all-pairs: the 32-bit hash splits into 4 chunks of
+    8 bits; hamming ≤ 3 flips bits in at most 3 chunks, so every true
+    pair shares at least one intact chunk (pigeonhole) — join on
+    (chunk_idx, chunk_val), then verify with bit_count(xor). At scale
+    each row emits 4 band rows; no quadratic blowup."""
+    bits_per_chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_mask = (1 << bits_per_chunk) - 1
+    sh = simhash(docs, id_col=id_col, text_col=text_col, n=n)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * bits_per_chunk)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -261,9 +261,13 @@ def gap_fill(
     over an unbounded-preceding window. Two shuffles (grid join + window)
     both on the series key, so AQE can reuse the partitioning.
     """
+    unit = _trunc_unit(step)
     grid = (
         df.groupBy(*series)
-        .agg(F.min(ts).alias("_t0"), F.max(ts).alias("_t1"))
+        .agg(
+            F.date_trunc(unit, F.min(ts)).alias("_t0"),
+            F.date_trunc(unit, F.max(ts)).alias("_t1"),
+        )
         .select(
             *series,
             F.explode(
@@ -274,7 +278,7 @@ def gap_fill(
     # snap observations to the grid step, keep last value per slot
     snapped = df.select(
         *series,
-        F.date_trunc(_trunc_unit(step), F.col(ts)).alias("grid_ts"),
+        F.date_trunc(unit, F.col(ts)).alias("grid_ts"),
         F.col(value).alias("_v"),
         F.col(ts).alias("_ts"),
     )

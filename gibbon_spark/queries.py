@@ -437,3 +437,391 @@ def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+# =========================================================================
+# As-of join & gap fill (standard TSDB ops, SURVEY.md §2.2 / M2)
+# =========================================================================
+
+
+@query(
+    "ts_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.value AS last_purchase_value,
+           r.ts AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the latest purchase at-or-before it by
+    the same user. Implemented union-style (operators.timeseries.asof_join):
+    ONE shuffle on the key, no range-join explosion — the strategy that
+    survives 100 TB."""
+    (events,) = _prep(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = ts_ops.asof_join(
+        clicks, purchases, ["user_id"], right_value_cols=["purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_right").alias("last_purchase_value"),
+        F.col("ts_right").alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "ts_gap_fill",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS grid_ts
+      FROM b
+    ),
+    slot AS (
+      SELECT user_id, date_trunc('hour', ts) AS grid_ts, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC) AS rn
+      FROM events
+    ),
+    s1 AS (SELECT user_id, grid_ts, value AS slot_value FROM slot WHERE rn = 1)
+    SELECT g.user_id, g.grid_ts,
+           last_value(s1.slot_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.grid_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN s1 USING (user_id, grid_ts)
+    """,
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per series with forward fill — grid generated
+    distributed via sequence()+explode (no driver loop), fill via
+    last(ignorenulls) window."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.gap_fill(events, ["user_id"], step="1 hour")
+    return out.select("user_id", "grid_ts", "filled_value")
+
+
+# =========================================================================
+# Relational completeness (SURVEY.md §2.2: set ops, join kinds, grouping
+# sets, distinct aggs, scalar function surface)
+# =========================================================================
+
+
+@query(
+    "set_ops_customers",
+    """
+    SELECT 'union' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except in one result, tagged by op."""
+    (customer,) = _prep(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+    )
+
+
+@query(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS op, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS op, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) and left_anti (NOT EXISTS) joins."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").select(
+        F.lit("with_orders").alias("op"), "c_custkey"
+    )
+    anti = customer.join(orders, cond, "left_anti").select(
+        F.lit("without_orders").alias("op"), "c_custkey"
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "outer_join_order_counts",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            "total_spend"
+        ),
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders,
+           round(sum(DISTINCT o_totalprice), 2) AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (expand-based two-phase agg in Spark)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 2).alias(
+            "sum_distinct_price"
+        ),
+    )
+
+
+@query("agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    count-distinct at 100 TB (fixed-size sketch, no expand). No SQL
+    oracle: HLL estimates are implementation-specific; tests assert <5%
+    error vs exact instead (tests/test_relational.py)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs")
+    )
+
+
+@query(
+    "rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all combinations)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "pivot_events",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'login' THEN 1 END) AS login,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts to columns (explicit value list so the
+    plan needs no extra distinct-values pass)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "login", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "scalar_string_math",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           round(p_retailprice * 1.1, 2) AS price_up,
+           abs(p_size - 25) AS size_dev,
+           CASE WHEN p_size > 25 THEN 'big'
+                WHEN p_size > 10 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_masked,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string, math, conditional — all JVM-side
+    whole-stage-codegen expressions."""
+    (part,) = _prep(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.when(F.col("p_size") > 25, "big")
+        .when(F.col("p_size") > 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_masked"
+        ),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_95"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (semi-structured
+    surface; at scale prefer from_json with an explicit schema so the
+    parse runs once per row, as done here)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "_p", F.from_json("props", "k BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").cast("string").alias("k_str"),
+        F.col("_p.k").alias("k_val"),
+    )
+
+
+@query(
+    "array_ops_documents",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           list_sort(string_split(text, ' '))[1] AS min_token,
+           list_contains(string_split(text, ' '), 'the') AS has_the
+    FROM documents
+    """,
+)
+def q_array_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over tokenized text (split/size/element_at/
+    array_distinct/array_sort/array_contains — all codegen'd)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.element_at(F.array_sort(toks), 1).alias("min_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )

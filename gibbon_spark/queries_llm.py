@@ -1,0 +1,448 @@
+"""LLM-data-pipeline queries (north-star additions): text analysis,
+dedup, similarity search. Registered into the same registry as
+gibbon_spark.queries (imported from there).
+
+Oracle strategy: every operator here — including MinHash-LSH, SimHash
+and hyperplane-LSH, which are normally un-oracle-able — is built on
+md5-derived determinism, so the DuckDB oracle replays the exact same
+computation and the driver gets full value-hash checks. The simhash and
+LSH oracle SQL is *generated from the same Python helpers* the Spark
+plans use (gibbon_spark.operators.dedup / similarity), guaranteeing the
+two sides can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gibbon_spark.functions import text as tx
+from gibbon_spark.operators import dedup, similarity
+from gibbon_spark.queries import _prep, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS_SQL = "('" + "', '".join(tx.LANG_PROFILES["en"]) + "')"
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           round((n_chars - (len(toks) - 1)) / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, t -> t IN {_EN_STOPWORDS_SQL})) / len(toks), 6)
+             AS stopword_ratio,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length/stopword statistics + BPE-ish token
+    count — all codegen expressions, scan-speed at 100 TB."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    m = tx.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> x IN {_EN_STOPWORDS_SQL})) / len(toks) AS stop_ratio,
+             length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) / n_chars AS punct_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) / n_chars AS digit_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(least(n_tok / 64.0, 1.0) * 0.3
+                 + least(stop_ratio * 4, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct_ratio * 4 - digit_ratio * 2) * 0.3
+                 + 1e-9,
+                 6) AS quality_score
+    FROM m
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/noise terms). The +1e-9
+    nudge (identical on both sides) keeps exactly-representable halves
+    off the round() boundary — Spark rounds half-up, DuckDB half-to-even,
+    and this score's power-of-two denominators hit exact halves."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_score("text") + F.lit(1e-9), 6).alias("quality_score"),
+    )
+
+
+def _lang_oracle_sql() -> str:
+    score_cols = ",\n             ".join(
+        "round(len(list_filter(toks, x -> x IN ('"
+        + "', '".join(words)
+        + "'))) / len(toks), 6) AS s_" + lang
+        for lang, words in sorted(tx.LANG_PROFILES.items())
+    )
+    langs = sorted(tx.LANG_PROFILES)
+    case_arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case_arms.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case_arms) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM t
+    )
+    SELECT doc_id, lang, {case_sql} AS pred_lang FROM s
+    """
+
+
+@query("lang_id", _lang_oracle_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax, ties to earliest code).
+    The oracle CASE-chain is generated from the same LANG_PROFILES."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    scores = {
+        lang: F.round(c, 6) for lang, c in tx.lang_scores("text").items()
+    }
+    ranked = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(-i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(scores))
+        ]
+    )
+    return docs.select(
+        "doc_id", "lang", F.array_max(ranked).getField("lang").alias("pred_lang")
+    )
+
+
+@query(
+    "token_freq_top20",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_token_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode → count → top-k)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, content_hash,
+           list_aggregate(
+             list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                            i -> md5(array_to_string(toks[i:i+7], ' '))),
+             'min') AS rolling_fp
+    FROM t
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fingerprint (md5 of normalized text) + winnowing-style
+    rolling fingerprint (min md5 over 8-token windows)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint("text").alias("content_hash"),
+        tx.rolling_fingerprint("text", window=8).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS representative,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the normalized fingerprint
+    with deterministic min-id representative."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+_SHINGLE_CTE = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM d
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes x ON p.id_a = x.doc_id
+    JOIN sizes y ON p.id_b = y.doc_id
+    WHERE round(n_inter / (x.n_sh + y.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def _minhash_oracle_sql(num_hashes: int = 12, bands: int = 4, min_est: float = 0.5) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * r + j}" for j in range(r)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sigs AS (
+      SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id
+    ),
+    banded AS (SELECT id, {band_keys} FROM sigs),
+    bl AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bl a JOIN bl b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           round(({eq_sum}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON c.id_a = sa.id
+    JOIN sigs sb ON c.id_b = sb.id
+    WHERE round(({eq_sum}) / {num_hashes}.0, 6) >= {min_est}
+    """
+    )
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3 rows) near-dup candidates with
+    signature-estimated Jaccard — the 100 TB dedup path: constant-size
+    signatures, band-bucket join, no all-pairs comparison. md5-based hash
+    family makes the whole pipeline replayable in the DuckDB oracle."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    terms = dedup.simhash_bit_terms("token")
+    term_cols = ", ".join(f"{t} AS b{i}" for i, t in enumerate(terms))
+    combine = dedup.simhash_combine_sql([f"b{i}" for i in range(dedup.SIMHASH_BITS)])
+    bpc = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
+    mask = (1 << bpc) - 1
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {c} AS chunk, (simhash >> {c * bpc}) & {mask} AS val FROM sh"
+        for c in range(dedup.SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS token
+      FROM d
+    ),
+    votes AS (SELECT id, {term_cols} FROM tok GROUP BY id),
+    sh AS (SELECT id, {combine} AS simhash FROM votes),
+    chunks AS ({chunk_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a::BIGINT, sh_b::BIGINT)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a::BIGINT, sh_b::BIGINT)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit over 3-gram shingles) near-dup pairs, hamming ≤ 3,
+    banded 4×8-bit join (pigeonhole: ≤3 flipped bits leave ≥1 chunk
+    intact). The oracle SQL is generated from the same bit-term helpers
+    as the Spark plan."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+      round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6)
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS nbr_id,
+             {_COSINE_SQL.replace('a.v', 'q.v').replace('b.v', 'b.v')} AS cosine_sim
+      FROM q JOIN e b ON b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors over the corpus —
+    broadcast the queries, scan the corpus once, rank per query."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(embs, qs, k=5)
+
+
+@query(
+    "sim_embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE_SQL} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL} >= 0.4
+    """,
+)
+def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4 — the corpus is
+    near-orthogonal, max pair sim ≈ 0.48)."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(embs, threshold=0.4)
+
+
+def _lsh_bucket_oracle_sql(dims: int = 64) -> str:
+    signs = similarity.plane_signs(similarity.NUM_PLANES, dims)
+    projs = []
+    for p in range(similarity.NUM_PLANES):
+        terms = "".join(
+            ("+" if signs[p][d] > 0 else "-") + f"v[{d + 1}]" for d in range(dims)
+        )
+        projs.append(
+            f"(CASE WHEN ({terms.lstrip('+')}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(projs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT ({bucket}) AS bucket, count(*) AS n
+    FROM e GROUP BY 1
+    """
+
+
+@query("sim_lsh_bucket_histogram", _lsh_bucket_oracle_sql())
+def q_sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — verifies the md5-derived
+    hyperplane hashing is deterministic and engine-independent (the
+    oracle regenerates the same ±1 planes)."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    return (
+        similarity.with_lsh_bucket(embs)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("sim_topk_lsh")
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via banded hyperplane-LSH candidates + exact rerank.
+    No SQL oracle (the candidate set is the point of divergence from
+    brute force); recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(embs, qs, k=5)

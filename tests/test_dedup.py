@@ -1,0 +1,77 @@
+"""Dedup operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+from gibbon_spark.operators import dedup
+
+DOCS = [
+    # 0 and 1: exact duplicates modulo whitespace/case
+    (0, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick  brown fox jumps over the lazy dog near the river bank"),
+    # 2: near-dup of 0 (one word changed)
+    (2, "The quick brown fox jumps over the lazy cat near the river bank"),
+    # 3: unrelated
+    (3, "completely different content about spark engines and parquet files here"),
+    # 4: another unrelated
+    (4, "yet another document with totally distinct vocabulary and no overlap at all"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {
+        r.representative: r.n_copies
+        for r in dedup.exact_dedup_groups(_docs_df(spark)).collect()
+    }
+    assert out[0] == 2  # docs 0,1 collapse (case/whitespace normalized)
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark):
+    kept = sorted(
+        r.doc_id for r in dedup.drop_exact_duplicates(_docs_df(spark)).collect()
+    )
+    assert kept == [0, 2, 3, 4]
+
+
+def test_jaccard_finds_near_dup_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(_docs_df(spark), threshold=0.3).collect()
+    }
+    assert (0, 2) in pairs  # one-word edit → high shingle overlap
+    assert all(3 not in p and 4 not in p for p in pairs)  # unrelated docs excluded
+    assert pairs[(0, 1)] > 0.7  # case diff at shingle level keeps it below 1.0
+
+
+def test_minhash_lsh_finds_near_dup_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(_docs_df(spark), min_est=0.3).collect()
+    }
+    # the high-sim pair must band-collide; (0,2) at j≈0.57 may or may not
+    # (that selectivity is the LSH tradeoff — jaccard_pairs catches it)
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= 0.5  # k=12 estimator variance around true j≈0.83
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_pairs_near_dups_only(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(_docs_df(spark), max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert all((3 not in p and 4 not in p) for p in pairs)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """est_jaccard from signatures should track exact jaccard for the
+    near-identical pair (both ≈ 1)."""
+    sigs = dedup.minhash_signatures(_docs_df(spark), num_hashes=12)
+    rows = {r.id: [r[f"sig_{i}"] for i in range(12)] for r in sigs.collect()}
+    matches = sum(a == b for a, b in zip(rows[0], rows[1]))
+    assert matches >= 7  # docs 0/1: high but not full overlap (case-sensitive shingles)

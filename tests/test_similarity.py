@@ -1,0 +1,71 @@
+"""Similarity search: brute force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gibbon_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from gibbon_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    qs = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(embeddings, qs, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.nbr_id, r.cosine_sim))
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        sims = (mat @ mat[q]) / (norms * norms[q])
+        sims[ids == q] = -math.inf
+        best = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+        got = [nbr for _, nbr, _ in sorted(by_q[q])]
+        assert got == [int(ids[i]) for i in best]
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    """Banded hyperplane LSH with 4-bit bands must recover most of the
+    exact top-5 (random near-orthogonal corpus — recall won't be 1.0,
+    but must beat random selection by a wide margin)."""
+    qs = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(embeddings, qs, k=5).collect()
+    approx = similarity.lsh_topk(embeddings, qs, k=5).collect()
+    exact_set = {(r.query_id, r.nbr_id) for r in exact}
+    approx_set = {(r.query_id, r.nbr_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # the corpus is random/near-orthogonal, the worst case for hyperplane
+    # LSH (neighbors sit at cos ≈ 0.4, barely off 90°) — recall ~0.45-0.55
+    # here; on clustered real embeddings it approaches 1. Assert it beats
+    # the ~0.25 a random same-size candidate subset would give.
+    assert recall >= 0.35, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_bucket_is_deterministic(spark, embeddings):
+    a = similarity.with_lsh_bucket(embeddings).select("vec_id", "bucket")
+    b = similarity.with_lsh_bucket(embeddings).select("vec_id", "bucket")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_neardup_threshold(spark, embeddings):
+    out = similarity.embedding_neardup_pairs(embeddings, threshold=0.4).collect()
+    assert all(r.cosine_sim >= 0.4 for r in out)
+    assert all(r.id_a < r.id_b for r in out)
