@@ -1,0 +1,162 @@
+"""Distributed Gorilla block encode/decode over DataFrames.
+
+The storage unit matches the reference: one compressed block per
+(series, 2-hour bucket) — exactly Gorilla's per-series block keyed by
+header time (``vec_stream.rs:6-9``, ``csv_to_packed.rs:16-18``). Encode
+is an ``applyInPandas`` over that grouping (one shuffle, the same
+partitioning the bucketed store and per-series windows use); decode is
+an ``applyInPandas`` back to rows. Blocks are independent, so both
+sides scale embarrassingly: 100 TB = many blocks, never a big one
+(2 h × one series).
+
+The codec module is shipped to executors BY VALUE via cloudpickle's
+``register_pickle_by_value`` — executors need no importable copy of
+gibbon_spark.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK_SCHEMA = (
+    "series_id string, header_time long, n_samples int, n_bits long, payload binary"
+)
+ROWS_SCHEMA = "series_id string, ts long, value double"
+
+
+def _ship_codec_by_value() -> None:
+    import gibbon_spark.codec.gorilla as gorilla_mod
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        register_pickle_by_value(gorilla_mod)
+    except Exception:  # pragma: no cover - older cloudpickle
+        pass
+
+
+def encode_timeseries(
+    df: DataFrame,
+    *,
+    series: list[str] | None = None,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """(any table) → gorilla blocks: one row per (series, 2h bucket) with
+    the bit-packed payload. Rows are sorted (ts, then input order proxy)
+    inside each block — the order-dependence the codec requires
+    (SURVEY.md 'hard parts')."""
+    _ship_codec_by_value()
+    from gibbon_spark.codec.gorilla import encode_block
+    from gibbon_spark.operators.timeseries import as_timeseries
+
+    norm = as_timeseries(df, series=series, ts=ts, value=value)
+    keyed = norm.select(
+        "series_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "value",
+        (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 7200)).alias(
+            "header_time"
+        ),
+    )
+    # One shuffle on the series key, blocks assembled by streaming each
+    # sorted partition through mapInPandas. NOT applyInPandas-per-group:
+    # blocks are tiny (2 h of one series), and per-group Arrow round-trip
+    # overhead (~5 ms) would dwarf the encode itself by 100×. A block
+    # that straddles two Arrow batches is carried over to the next batch
+    # (groups are contiguous because partitions are sorted).
+    parts = keyed.repartition("series_id").sortWithinPartitions(
+        "series_id", "header_time", "epoch"
+    )
+
+    def encode_partition(batches):
+        import pandas as pd
+
+        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for (sid, ht), g in pdf.groupby(
+                ["series_id", "header_time"], sort=False
+            ):
+                payload, nbits = encode_block(
+                    g["epoch"].tolist(), g["value"].tolist(), int(ht)
+                )
+                rows.append((sid, int(ht), len(g), nbits, payload))
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "series_id",
+                    "header_time",
+                    "n_samples",
+                    "n_bits",
+                    "payload",
+                ],
+            )
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_sid = pdf["series_id"].iloc[-1]
+            last_ht = pdf["header_time"].iloc[-1]
+            is_last = (pdf["series_id"] == last_sid) & (
+                pdf["header_time"] == last_ht
+            )
+            complete = pdf[~is_last]
+            carry = pdf[is_last]
+            if len(complete):
+                yield encode_groups(complete)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return parts.mapInPandas(encode_partition, BLOCK_SCHEMA)
+
+
+def decode_timeseries(blocks: DataFrame) -> DataFrame:
+    """gorilla blocks → (series_id, ts epoch-seconds, value) rows."""
+    _ship_codec_by_value()
+    from gibbon_spark.codec.gorilla import decode_block
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        frames = []
+        for r in pdf.itertuples(index=False):
+            ts_list, v_list = decode_block(
+                bytes(r.payload), int(r.n_bits), int(r.header_time)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_id": r.series_id,
+                        "ts": ts_list,
+                        "value": v_list,
+                    }
+                )
+            )
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame({"series_id": [], "ts": [], "value": []})
+        )
+
+    # mapInPandas keeps decode embarrassingly parallel (no shuffle)
+    return blocks.mapInPandas(
+        lambda it: (decode_group(pdf) for pdf in it), ROWS_SCHEMA
+    )
+
+
+def compression_report(blocks: DataFrame) -> DataFrame:
+    """The reference's compression-stats query over distributed blocks
+    (``csv_to_packed.rs:107-113``): compressed bytes vs 16 B/row raw."""
+    return blocks.agg(
+        F.sum("n_samples").alias("rows"),
+        F.sum(F.octet_length("payload")).alias("compressed_bytes"),
+        (F.sum("n_samples") * 16).alias("raw_bytes"),
+        F.round(
+            100.0 * F.sum(F.octet_length("payload")) / (F.sum("n_samples") * 16), 2
+        ).alias("ratio_pct"),
+    )

@@ -446,3 +446,98 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_topk(embs, qs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_stats",
+    """
+    SELECT 'text' AS modality,
+           count(*) AS n_items,
+           sum(octet_length(encode(text))) AS total_bytes,
+           min(octet_length(encode(text))) AS min_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata scan over the media adapter (documents
+    wrapped as utf-8 payloads) — octet_length/agg, pure expressions."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return mm.payload_stats(mm.documents_as_media(docs))
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing through mapInPandas (deterministic
+    fake features standing in for a model forward pass — the media libs
+    are intentionally absent). The oracle checks the REAL columns (size,
+    content hash); the fake feature vector is pytest-asserted."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.documents_as_media(docs))
+    return feats.select("media_id", "payload_bytes", "payload_md5")
+
+
+# ---------------------------------------------------------------------------
+# Gorilla parity codec (SURVEY.md M5) — queries proving the codec is
+# transparent: encode → decode → aggregate must equal the plain scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gorilla_roundtrip_summary",
+    """
+    SELECT min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch
+    FROM events
+    """,
+)
+def q_gorilla_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode events into bit-exact Gorilla blocks (one per user_id x 2h
+    bucket), decode them back, and compute the reference's five
+    aggregates (csv_to_packed.rs:36-76). The oracle runs the SAME
+    aggregates on the raw table — hash equality proves the codec is
+    lossless at seconds granularity, distributed."""
+    from gibbon_spark.codec import spark_ops
+
+    (events,) = _prep(spark, sf_dir, "events")
+    blocks = spark_ops.encode_timeseries(events, series=["user_id"])
+    decoded = spark_ops.decode_timeseries(blocks)
+    return decoded.agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.max("ts").alias("max_ts_epoch"),
+    )
+
+
+@query("gorilla_compression_ratio")
+def q_gorilla_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-stats query (csv_to_packed.rs:107-113) over the
+    distributed blocks: compressed vs 16 B/row raw. rows-only check (the
+    payload size is not SQL-derivable); determinism is pytest-asserted."""
+    from gibbon_spark.codec import spark_ops
+
+    (events,) = _prep(spark, sf_dir, "events")
+    blocks = spark_ops.encode_timeseries(events, series=["user_id"])
+    return spark_ops.compression_report(blocks)

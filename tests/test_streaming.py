@@ -1,0 +1,88 @@
+"""Structured Streaming ingestion: file stream → bucketed parquet sink;
+windowed rollup with watermark semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from gibbon_spark.sources.csv_source import read_gibbon_csv, stream_gibbon_csv
+from gibbon_spark.streaming import ingest
+
+ROWS = [
+    (10005, 0.34),
+    (10065, 0.35),
+    (10124, 0.72),
+    (10247, 0.42),
+    (10365, 1.12),
+    (17205, 2.5),  # next 2-hour bucket
+]
+
+
+@pytest.fixture(scope="module")
+def csv_dir():
+    d = tempfile.mkdtemp(prefix="gibbon_csv_")
+    with open(os.path.join(d, "part1.csv"), "w") as f:
+        for ts, v in ROWS[:4]:
+            f.write(f"{ts},{v}\n")
+    with open(os.path.join(d, "part2.csv"), "w") as f:
+        for ts, v in ROWS[4:]:
+            f.write(f"{ts},{v}\n")
+    return d
+
+
+def test_csv_batch_read_matches_reference_shape(spark, csv_dir):
+    df = read_gibbon_csv(spark, csv_dir)
+    assert df.columns == ["series_id", "ts", "value"]
+    rows = sorted((r.ts.timestamp(), r.value) for r in df.collect())
+    assert rows == sorted((float(t), v) for t, v in ROWS)
+
+
+def test_stream_to_bucketed_sink_equals_batch(spark, csv_dir):
+    """availableNow streaming ingest must land exactly the batch rows,
+    partitioned by 2-hour bucket."""
+    out = tempfile.mkdtemp(prefix="gibbon_sink_")
+    q = ingest.start_bucketed_sink(
+        stream_gibbon_csv(spark, csv_dir),
+        os.path.join(out, "data"),
+        os.path.join(out, "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == len(ROWS)
+    buckets = {r.bucket.timestamp() for r in got.select("bucket").distinct().collect()}
+    # 10005//7200*7200 = 7200 ; 17205//7200*7200 = 14400
+    assert buckets == {7200.0, 14400.0}
+
+
+def test_windowed_rollup_matches_batch_agg(spark, csv_dir):
+    """Streaming tumbling-window aggregate (via availableNow + memory
+    sink) must equal the batch groupBy over the same window."""
+    stream = stream_gibbon_csv(spark, csv_dir)
+    rolled = ingest.windowed_rollup(stream, window="1 hour", watermark="1 minute")
+    # complete mode: append would (correctly) hold back the final window
+    # still open under the watermark when the bounded stream ends
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.timestamp(), r.n_samples, round(r.avg_value, 9))
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = read_gibbon_csv(spark, csv_dir)
+    expected = {
+        (r.ws.timestamp(), r.n, round(r.avg_value, 9))
+        for r in batch.groupBy(F.window("ts", "1 hour").start.alias("ws"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .collect()
+    }
+    assert got == expected
