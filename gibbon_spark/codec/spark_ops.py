@@ -67,7 +67,10 @@ def encode_timeseries(
     # overhead (~5 ms) would dwarf the encode itself by 100×. A block
     # that straddles two Arrow batches is carried over to the next batch
     # (groups are contiguous because partitions are sorted).
-    parts = keyed.repartition("series_id").sortWithinPartitions(
+    # partition on the full block key, not just series: low-cardinality
+    # series sets (15 users here) would cap parallelism and skew; blocks
+    # are independent, so hashing them across all partitions is free
+    parts = keyed.repartition("series_id", "header_time").sortWithinPartitions(
         "series_id", "header_time", "epoch"
     )
 
@@ -123,25 +126,19 @@ def decode_timeseries(blocks: DataFrame) -> DataFrame:
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import pandas as pd
 
-        frames = []
+        # flat accumulators, one DataFrame per Arrow batch — a per-block
+        # DataFrame+concat costs ~1 ms x thousands of tiny blocks
+        sids: list = []
+        tss: list = []
+        vals: list = []
         for r in pdf.itertuples(index=False):
             ts_list, v_list = decode_block(
                 bytes(r.payload), int(r.n_bits), int(r.header_time)
             )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "series_id": r.series_id,
-                        "ts": ts_list,
-                        "value": v_list,
-                    }
-                )
-            )
-        return (
-            pd.concat(frames)
-            if frames
-            else pd.DataFrame({"series_id": [], "ts": [], "value": []})
-        )
+            sids.extend([r.series_id] * len(ts_list))
+            tss.extend(ts_list)
+            vals.extend(v_list)
+        return pd.DataFrame({"series_id": sids, "ts": tss, "value": vals})
 
     # mapInPandas keeps decode embarrassingly parallel (no shuffle)
     return blocks.mapInPandas(

@@ -14,6 +14,18 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
+# Ship this module by value: the pandas UDFs below are module-level, so
+# cloudpickle would otherwise serialize them by reference and executors
+# would need gibbon_spark importable (not guaranteed under the driver).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value as _rpbv
+
+    _rpbv(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
 
 @F.pandas_udf(LongType())
 def double_bits(values: pd.Series) -> pd.Series:

@@ -825,3 +825,134 @@ def q_array_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(toks), 1).alias("min_token"),
         F.array_contains(toks, "the").alias("has_the"),
     )
+
+
+# =========================================================================
+# Subqueries, percentiles, q6, string aggregation, xor analytics
+# =========================================================================
+
+_SUBQUERY_SQL = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_big_building_orders
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      AND o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("subqueries_gallery", _SUBQUERY_SQL)
+def q_subqueries_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + uncorrelated IN + correlated EXISTS in one
+    plan — the identical SQL text runs on both engines (Catalyst
+    rewrites IN/EXISTS to semi joins, the scalar subquery to a
+    broadcast)."""
+    for name, df in zip(
+        ["orders", "customer", "lineitem"],
+        _prep(spark, sf_dir, "orders", "customer", "lineitem"),
+    ):
+        df.createOrReplaceTempView(name)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filtered scan-aggregate; every predicate
+    pushes to the parquet reader."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "percentiles_prices",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.90), 6) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB switch to approx_percentile (t-digest
+    sketch, fixed memory) — exposed as the rows-only twin below."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+    )
+
+
+@query("percentiles_approx")
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based scale path (no SQL oracle:
+    estimates are implementation-specific; pytest bounds the error)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        )
+    )
+
+
+@query(
+    "string_agg_statuses",
+    """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-and-join aggregation (collect_set → sort → concat);
+    deterministic because the set is sorted before joining."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query("ts_xor_bits")
+def q_ts_xor_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The double codec's XOR math as a queryable per-series transform
+    (double_stream.rs:42): IEEE-754 bits of consecutive values XORed,
+    plus the leading-zero count the window encoding keys on. Bit
+    reinterpretation uses the Arrow-vectorized double_bits UDF; no SQL
+    oracle (DuckDB lacks a double→bits reinterpret), semantics are
+    pinned by tests/test_timeseries.py golden cases."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.with_value_xor(events, ["user_id"], tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "value_xor", "xor_leading_zeros")
