@@ -244,11 +244,16 @@ def _hexval_sql(char_expr: str) -> str:
     )
 
 
-def simhash_bit_terms(token_expr: str = "token", bits: int = SIMHASH_BITS) -> list[str]:
+def simhash_bit_terms(hash_expr: str = "md5(token)", bits: int = SIMHASH_BITS) -> list[str]:
     """SQL sum-terms (one per bit, MSB first), each counting +1/-1 per
-    token by the corresponding bit of md5(token)'s leading hex chars.
+    token by the corresponding bit of the token hash's leading hex chars.
     The strings are dialect-portable (ascii/substr/CASE/&) so the exact
     same computation runs in Spark and in the DuckDB oracle.
+
+    Pass a PRE-MATERIALIZED hash column name as ``hash_expr`` — an
+    inline ``md5(token)`` would be re-evaluated once per bit term (32
+    md5 calls per row; common-subexpression elimination does not span
+    separate aggregate expressions).
 
     32 bits over shingles (not raw tokens): shingle sets separate
     non-duplicate docs far better than token sets, and 32 bits keeps
@@ -258,7 +263,7 @@ def simhash_bit_terms(token_expr: str = "token", bits: int = SIMHASH_BITS) -> li
     for bit in range(bits):
         nibble_idx = bit // 4 + 1  # 1-indexed hex char
         mask = 8 >> (bit % 4)
-        nib = f"substr(md5({token_expr}), {nibble_idx}, 1)"
+        nib = f"substr({hash_expr}, {nibble_idx}, 1)"
         v = _hexval_sql(nib)
         terms.append(f"sum(CASE WHEN ({v} & {mask}) <> 0 THEN 1 ELSE -1 END)")
     return terms
@@ -285,8 +290,8 @@ def simhash(
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("token"),
-    )
-    terms = simhash_bit_terms("token")
+    ).select("id", F.md5("token").alias("h"))
+    terms = simhash_bit_terms("h")
     agg = tok.groupBy("id").agg(
         *[F.expr(t).alias(f"b{i}") for i, t in enumerate(terms)]
     )

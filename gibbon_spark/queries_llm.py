@@ -303,7 +303,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
-    terms = dedup.simhash_bit_terms("token")
+    terms = dedup.simhash_bit_terms("h")
     term_cols = ", ".join(f"{t} AS b{i}" for i, t in enumerate(terms))
     combine = dedup.simhash_combine_sql([f"b{i}" for i in range(dedup.SIMHASH_BITS)])
     bpc = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
@@ -317,9 +317,9 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
       SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
     ),
     tok AS (
-      SELECT DISTINCT doc_id AS id,
-             unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                    i -> array_to_string(t[i:i+2], ' ')))) AS token
+      SELECT doc_id AS id,
+             md5(unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], ' '))))) AS h
       FROM d
     ),
     votes AS (SELECT id, {term_cols} FROM tok GROUP BY id),

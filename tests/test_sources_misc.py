@@ -1,0 +1,54 @@
+"""Remaining source/UDF surface: JSON source with explicit schema,
+SQL-registered UDFs (the reference's Writer/Reader traits are its only
+extension points — SURVEY.md §2.2 maps them to the UDF registry)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_json_source_with_explicit_schema(spark):
+    d = tempfile.mkdtemp(prefix="gibbon_json_")
+    path = os.path.join(d, "data.jsonl")
+    rows = [
+        {"series_id": "a", "ts": 100, "value": 1.5},
+        {"series_id": "a", "ts": 160, "value": 2.5},
+        {"series_id": "b", "ts": 100, "value": -1.0},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # explicit schema: no inference pass over the data (scale discipline)
+    df = spark.read.schema(schema).json(path)
+    assert df.count() == 3
+    got = df.groupBy("series_id").agg(F.sum("value").alias("s")).collect()
+    assert {(r.series_id, r.s) for r in got} == {("a", 4.0), ("b", -1.0)}
+
+
+def test_sql_udf_registry(spark):
+    """Register the engine's pandas UDF + a plain expression-backed SQL
+    function; both callable from spark.sql."""
+    from gibbon_spark.functions.bits import double_bits
+
+    spark.udf.register("double_bits", double_bits)
+    spark.createDataFrame([(1.0,), (0.0,), (-2.0,)], "v double").createOrReplaceTempView(
+        "udf_probe"
+    )
+    got = {r.v: r.b for r in spark.sql(
+        "SELECT v, double_bits(v) AS b FROM udf_probe"
+    ).collect()}
+    assert got[1.0] == 0x3FF0000000000000
+    assert got[0.0] == 0
+    assert got[-2.0] == -(2**63) + 0x4000000000000000  # sign bit + exponent

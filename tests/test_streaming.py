@@ -86,3 +86,52 @@ def test_windowed_rollup_matches_batch_agg(spark, csv_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_running_stats_across_restarts(spark):
+    """applyInPandasWithState: per-series state must persist across
+    separate runs sharing a checkpoint (codec-style running state,
+    fault-tolerant)."""
+    import shutil
+
+    from gibbon_spark.streaming.stateful import running_series_stats
+
+    d = tempfile.mkdtemp(prefix="gibbon_stateful_")
+    src = os.path.join(d, "in")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(src)
+
+    def run_once(qname):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, which is the very thing this test exercises
+        collected = []
+
+        def sink(batch_df, _batch_id):
+            collected.extend(batch_df.collect())
+
+        stream = stream_gibbon_csv(spark, src, series_id="s1")
+        out = running_series_stats(stream)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected[-1] if collected else None
+
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("100,1.0\n200,3.0\n")
+    r1 = run_once("stateful_run1")
+    assert (r1.n_total, r1.sum_value, r1.min_value, r1.max_value) == (2, 4.0, 1.0, 3.0)
+    # EMA folds in ts order: 1.0 then 3.0 -> 0.2*3 + 0.8*1 = 1.4
+    assert abs(r1.ema - 1.4) < 1e-9
+
+    with open(os.path.join(src, "b.csv"), "w") as f:
+        f.write("300,5.0\n")
+    r2 = run_once("stateful_run2")
+    # state restored from checkpoint: totals span both runs
+    assert (r2.n_total, r2.sum_value, r2.max_value) == (3, 9.0, 5.0)
+    assert abs(r2.ema - (0.2 * 5.0 + 0.8 * 1.4)) < 1e-9
+    shutil.rmtree(d)
