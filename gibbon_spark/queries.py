@@ -956,3 +956,128 @@ def q_ts_xor_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _prep(spark, sf_dir, "events")
     out = ts_ops.with_value_xor(events, ["user_id"], tiebreak=["event_id"])
     return out.select("event_id", "user_id", "value_xor", "xor_leading_zeros")
+
+
+# =========================================================================
+# Window frames, sliding windows, session windows
+# =========================================================================
+
+
+@query(
+    "window_frames_gallery",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg_3,
+           lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_value,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS first_value,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+             AS value_quartile,
+           round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+             AS value_pct_rank
+    FROM events
+    """,
+)
+def q_window_frames_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: running/moving frames, lead,
+    first_value, ntile, percent_rank — one shuffle on the partition
+    key, frames evaluated in a single pass per partition."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg_3"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+    )
+
+
+@query(
+    "ts_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS win_start,
+             ts
+      FROM events
+    )
+    SELECT event_type, win_start,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value
+    FROM starts
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '2 hours'
+    GROUP BY event_type, win_start
+    """,
+)
+def q_ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h size, 1h slide): each row lands in two
+    windows. Spark's window() generates the assignment map-side; the
+    oracle replays it by exploding the two candidate starts."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.window("ts", "2 hours", "1 hour").start.alias("win_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "ts_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_ts_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    session_window() — Spark merges adjacent sessions in the aggregate;
+    the oracle reconstructs sessions with a gap-flag running sum. The
+    session *start* and row count identify each session on both sides."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw").start.alias("session_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,25 @@
+"""Every registered query's physical plan must stay free of scale
+anti-patterns (tools/explain_audit.py, enforced)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+ALLOWED_NESTED_LOOP = {"sim_topk_lsh"}
+
+
+@pytest.mark.parametrize("name", list(entrymod.queries()))
+def test_plan_has_no_antipatterns(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop join"
+    # Arrow-batched python (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas)
+    # is the sanctioned slow path; row-at-a-time BatchEvalPython never is
+    assert not re.search(r"\bBatchEvalPython\b", plan), f"{name}: row python UDF"
