@@ -1081,3 +1081,29 @@ def q_ts_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via stack() — wide measures to long rows, the
+    inverse of pivot_events; a pure projection (no shuffle)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, val)"
+        ),
+    )
