@@ -1107,3 +1107,26 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'discount', l_discount) AS (measure, val)"
         ),
     )
+
+
+@query(
+    "full_outer_users_customers",
+    """
+    SELECT coalesce(u.user_id, c.c_custkey) AS key_id,
+           u.n_events,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
+    FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+    """,
+)
+def q_full_outer_users_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: event users vs customer keys — rows survive
+    from both unmatched sides (null columns on the other)."""
+    events, customer = _prep(spark, sf_dir, "events", "customer")
+    u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    joined = u.join(customer, u.user_id == customer.c_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(u.user_id, customer.c_custkey).alias("key_id"),
+        "n_events",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )

@@ -541,3 +541,18 @@ def q_gorilla_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _prep(spark, sf_dir, "events")
     blocks = spark_ops.encode_timeseries(events, series=["user_id"])
     return spark_ops.compression_report(blocks)
+
+
+@query(
+    "dedup_keep_representatives",
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *action*: ids kept after dropping exact duplicates
+    (deterministic min-id representative per normalized content)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.drop_exact_duplicates(docs).select("doc_id")
