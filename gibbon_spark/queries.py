@@ -1130,3 +1130,188 @@ def q_full_outer_users_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("c_acctbal", 2).alias("acctbal"),
     )
+
+
+# =========================================================================
+# Deeper analytical shapes (TPC-H q4/q14/q17/q18/q19 analogs, range frames)
+# =========================================================================
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS → left-semi join on the fact
+    table, then a small aggregate."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+    """,
+)
+def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: conditional aggregation ratio over a broadcast
+    dim join (part is small; lineitem never shuffles pre-aggregation)."""
+    li, part = _prep(spark, sf_dir, "lineitem", "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: correlated scalar subquery — Catalyst rewrites
+    it to an aggregate + join on the correlation key (one shuffle on
+    l_partkey), not a per-row subplan."""
+    for name, df in zip(["lineitem"], _prep(spark, sf_dir, "lineitem")):
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l
+        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: aggregate + HAVING, joined back to dims. The
+    HAVING output is tiny, so both joins broadcast it."""
+    li, orders, customer = _prep(spark, sf_dir, "lineitem", "orders", "customer")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    j = (
+        F.broadcast(t)
+        .join(orders, t.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q19_disjunctive",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunction of conjunctive predicates across
+    both join sides — Catalyst extracts the common l_partkey join key
+    and pushes the per-side conjuncts below the join."""
+    li, part = _prep(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "ts_trailing_1h_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS trailing_1h_avg,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h_n
+    FROM events
+    """,
+)
+def q_ts_trailing_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-event trailing-1-hour mean per series
+    — the TSDB moving aggregate. Ordered on epoch seconds so the range
+    offset is a plain numeric bound on both engines."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("trailing_1h_avg"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
