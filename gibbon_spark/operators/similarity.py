@@ -355,3 +355,123 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + probed rerank
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train a k-means coarse quantizer (Spark MLlib, kmeans|| init) and
+    assign every vector to its nearest-centroid inverted list.
+
+    Returns (assigned DataFrame with a ``list_id`` column, centroids as
+    a numpy array). The quantizer is the standard IVF scale path: at
+    query time only nprobe/n_lists of the corpus is scored, and the
+    lists are just a partition key — the index IS a DataFrame."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    # a coarse quantizer doesn't need convergence — 8 iters is plenty
+    model = KMeans(k=n_lists, seed=seed, maxIter=8).fit(feat)
+    assigned = model.transform(feat).select(
+        "id", "vec", F.col("prediction").alias("list_id")
+    )
+    centers = model.clusterCenters()
+    centroids = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in centers]
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: score only the nprobe inverted lists whose
+    centroids are nearest each query, then exact-cosine rerank with the
+    same batched-GEMM scorer as the LSH path. Candidate fraction ≈
+    nprobe/n_lists of the corpus; recall asserted vs brute force in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed
+    )
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = _unit_rows(q_pdf, "vec")
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1), 1e-12
+    )[:, None]
+    sims_qc = q_mat @ c_norm.T  # (n_queries, n_lists)
+    probes = np.argsort(-sims_qc, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[qi]), int(lst)) for qi in range(len(q_ids)) for lst in probes[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    cand = (
+        assigned.join(F.broadcast(probe_df), "list_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", "vec")
+    )
+
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            rows = np.array([q_index[int(q)] for q in pdf["query_id"]])
+            sims = np.einsum("ij,ij->i", unit, q_mat[rows])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "nbr_id": pdf["id"],
+                    "cosine_sim": sims,
+                }
+            )
+
+    scored = cand.mapInPandas(score, _TOPK_SCHEMA).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine_sim", "rank")
+    )

@@ -556,3 +556,16 @@ def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic min-id representative per normalized content)."""
     (docs,) = _prep(spark, sf_dir, "documents")
     return dedup.drop_exact_duplicates(docs).select("doc_id")
+
+
+@query("sim_topk_ivf")
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (k-means coarse quantizer, nprobe=4 of 16 lists)
+    — the second scale path for similarity search alongside
+    hyperplane-LSH. No SQL oracle (MLlib centroids are not
+    SQL-replayable); recall vs brute force is pytest-asserted."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(embs, qs, k=5)

@@ -69,3 +69,19 @@ def test_neardup_threshold(spark, embeddings):
     out = similarity.embedding_neardup_pairs(embeddings, threshold=0.4).collect()
     assert all(r.cosine_sim >= 0.4 for r in out)
     assert all(r.id_a < r.id_b for r in out)
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    """IVF with nprobe=4/16 scores ~25% of the corpus; on this
+    random/near-orthogonal data k-means lists are weak, but recall must
+    still beat the 25% a random same-size candidate subset gives."""
+    qs = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(embeddings, qs, k=5).collect()
+    approx = similarity.ivf_topk(embeddings, qs, k=5).collect()
+    exact_set = {(r.query_id, r.nbr_id) for r in exact}
+    approx_set = {(r.query_id, r.nbr_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} not above random baseline"
+    assert all(r.rank <= 5 for r in approx)
