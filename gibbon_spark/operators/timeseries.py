@@ -171,16 +171,13 @@ def with_value_xor(
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """xor = bits(value) XOR bits(lag(value)) — the double codec's core
-    (``double_stream.rs:42``). IEEE-754 bit extraction is done JVM-side
-    with no UDF: for finite doubles, ``hex(value_as_binary_via_md5)`` is
-    unavailable, but Spark exposes the bit pattern through
-    ``bin``/``conv`` only for integers — so we reinterpret via
-    ``double→bigint`` punning using ``F.expr("cast(... as ...)")`` is
-    lossy. Instead we use the documented-stable trick: encode the double
-    into its 8-byte big-endian IEEE form via ``to_binary(hex(...))`` is
-    not available either; therefore this one transform uses a vectorized
-    Arrow-batched pandas UDF (numpy ``view('int64')``) — the sanctioned
-    slow-path (SURVEY.md §4.3) — and the XOR itself stays JVM-side.
+    (``double_stream.rs:42``).
+
+    Spark has no built-in double→bits reinterpret (casts are value
+    conversions, not bit puns), so the bit extraction runs through the
+    Arrow-vectorized ``double_bits`` pandas UDF (numpy zero-copy view) —
+    the sanctioned slow path (SURVEY.md §4.3). The XOR, lag window and
+    leading-zero math all stay JVM-side.
     """
     from gibbon_spark.functions.bits import double_bits
 
@@ -244,6 +241,29 @@ def resample(
     )
 
 
+_STEP_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    parts = step.strip().lower().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2 or parts[1] not in _STEP_UNITS:
+        raise ValueError(f"unsupported gap_fill step: {step!r}")
+    return int(parts[0]) * _STEP_UNITS[parts[1]]
+
+
 def gap_fill(
     df: DataFrame,
     series: Sequence[str],
@@ -261,24 +281,38 @@ def gap_fill(
     over an unbounded-preceding window. Two shuffles (grid join + window)
     both on the series key, so AQE can reuse the partitioning.
     """
-    unit = _trunc_unit(step)
+    # Grid slots and observation snapping both floor to epoch-aligned
+    # tumbling slots of ANY step width (same alignment as window(step)).
+    # Plain epoch arithmetic because (a) Spark allows only one window()
+    # expression per projection and (b) an earlier date_trunc version
+    # silently DROPPED observations that fell inside a slot but not on
+    # its truncation unit for steps like "30 minutes".
+    w_sec = _step_seconds(step)
+
+    def slot_of(c: Column) -> Column:
+        epoch = F.unix_timestamp(c)
+        return F.timestamp_seconds(epoch - epoch % w_sec)
     grid = (
         df.groupBy(*series)
         .agg(
-            F.date_trunc(unit, F.min(ts)).alias("_t0"),
-            F.date_trunc(unit, F.max(ts)).alias("_t1"),
+            F.min(ts).alias("_min_ts"),
+            F.max(ts).alias("_max_ts"),
         )
         .select(
             *series,
             F.explode(
-                F.sequence("_t0", "_t1", F.expr(f"interval {step}"))
+                F.sequence(
+                    slot_of(F.col("_min_ts")),
+                    slot_of(F.col("_max_ts")),
+                    F.expr(f"interval {step}"),
+                )
             ).alias("grid_ts"),
         )
     )
-    # snap observations to the grid step, keep last value per slot
+    # snap observations to their slot, keep last value per slot
     snapped = df.select(
         *series,
-        F.date_trunc(unit, F.col(ts)).alias("grid_ts"),
+        slot_of(F.col(ts)).alias("grid_ts"),
         F.col(value).alias("_v"),
         F.col(ts).alias("_ts"),
     )
@@ -297,14 +331,6 @@ def gap_fill(
     return joined.withColumn(
         "filled_value", F.last("slot_value", ignorenulls=True).over(w_ffill)
     )
-
-
-def _trunc_unit(step: str) -> str:
-    s = step.strip().lower()
-    for unit in ("hour", "minute", "second", "day", "week"):
-        if unit in s:
-            return unit
-    raise ValueError(f"unsupported gap_fill step: {step}")
 
 
 # ---------------------------------------------------------------------------

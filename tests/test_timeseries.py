@@ -147,3 +147,19 @@ def test_resample_counts(spark):
     out = resample(df, ["series_id"], every="1 hour").orderBy("bucket_start").collect()
     assert [r.n_samples for r in out] == [2, 1]
     assert out[0].avg_value == 2.0
+
+
+def test_gap_fill_non_unit_step(spark):
+    """30-minute slots: observations inside a slot but off its start
+    minute must still land in the slot (regression: date_trunc-based
+    snapping dropped them)."""
+    df = _series_df(spark, [(0, 1.0), (1900, 7.0), (5400, 9.0)])
+    # slots: 00:00 (rows at 0s and 1900s=31:40 -> second slot!), 00:30, 01:00, 01:30
+    out = (
+        gap_fill(df, ["series_id"], step="30 minutes")
+        .orderBy("grid_ts")
+        .select("grid_ts", "filled_value")
+        .collect()
+    )
+    assert [r.filled_value for r in out] == [1.0, 7.0, 7.0, 9.0]
+    assert out[1].grid_ts == _ts(1800)
