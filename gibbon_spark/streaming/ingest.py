@@ -107,3 +107,19 @@ def windowed_rollup(
             "avg_value",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (dropDuplicatesWithinWatermark — duplicates
+    arriving within the watermark window are suppressed, state for older
+    keys is evicted). The streaming twin of
+    operators.dedup.drop_exact_duplicates; at 100 TB/day this is the
+    at-ingest dedup gate in front of the bucketed store."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

@@ -135,3 +135,32 @@ def test_stateful_running_stats_across_restarts(spark):
     assert (r2.n_total, r2.sum_value, r2.max_value) == (3, 9.0, 5.0)
     assert abs(r2.ema - (0.2 * 5.0 + 0.8 * 1.4)) < 1e-9
     shutil.rmtree(d)
+
+
+def test_streaming_dedup_drops_repeats(spark):
+    """dropDuplicatesWithinWatermark: duplicate keys within the
+    watermark are suppressed; distinct keys all pass."""
+    import shutil
+
+    from gibbon_spark.streaming.ingest import dedup_stream
+
+    d = tempfile.mkdtemp(prefix="gibbon_sdedup_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    # event 100 appears 3x, 200 twice, 300 once (same key = same ts here)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        for ts in [100, 100, 100, 200, 200, 300]:
+            f.write(f"{ts},1.0\n")
+    stream = stream_gibbon_csv(spark, src)
+    deduped = dedup_stream(stream, ["series_id", "ts"], watermark="1 hour")
+    collected = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.ts.timestamp() for r in collected) == [100.0, 200.0, 300.0]
+    shutil.rmtree(d)
