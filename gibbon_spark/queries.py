@@ -1315,3 +1315,24 @@ def q_ts_trailing_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("trailing_1h_avg"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     )
+
+
+@query(
+    "argmin_cheapest_order",
+    """
+    SELECT o_custkey,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS cheapest_orderkey,
+           round(min(o_totalprice), 2) AS cheapest_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_argmin_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin via min-over-struct (lexicographic (price, key) ordering —
+    deterministic under price ties, unlike min_by)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_custkey").agg(
+        F.min(s).getField("k").alias("cheapest_orderkey"),
+        F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
+    )

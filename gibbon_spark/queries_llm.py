@@ -569,3 +569,71 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(embs, qs, k=5)
+
+
+def _pipeline_oracle_sql() -> str:
+    """Compose the full training-data filter pipeline in DuckDB SQL from
+    the same generated pieces as the individual oracles: quality score +
+    MinHash-LSH near-dup removal (drop the higher id of each pair) +
+    per-language corpus stats of the kept docs."""
+    minhash_sql = _minhash_oracle_sql()
+    return f"""
+    WITH dup_pairs AS ({minhash_sql}),
+    losers AS (SELECT DISTINCT id_b FROM dup_pairs),
+    q AS (
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+               length(text) AS n_chars
+        FROM documents
+      ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               len(list_filter(toks, x -> x IN {_EN_STOPWORDS_SQL})) / len(toks) AS stop_ratio,
+               length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) / n_chars AS punct_ratio,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) / n_chars AS digit_ratio
+        FROM t
+      )
+      SELECT doc_id, n_tok,
+             round(least(n_tok / 64.0, 1.0) * 0.3
+                   + least(stop_ratio * 4, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - punct_ratio * 4 - digit_ratio * 2) * 0.3
+                   + 1e-9, 6) AS quality_score
+      FROM m
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(avg(q.n_tok), 6) AS avg_tokens,
+           round(avg(q.quality_score), 6) AS avg_quality
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    WHERE q.quality_score >= 0.5
+      AND d.doc_id NOT IN (SELECT id_b FROM losers)
+    GROUP BY d.lang
+    """
+
+
+@query("pipeline_training_corpus", _pipeline_oracle_sql())
+def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-data pipeline in one plan: quality
+    scoring -> MinHash-LSH near-dedup (keep the min-id of each dup pair)
+    -> per-language stats of the kept corpus. Every stage is the
+    operator used by its standalone query; the oracle is composed from
+    the same generated SQL pieces, so this checks the COMPOSITION, not
+    just the parts."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tx.quality_metrics("text")["n_tokens"].alias("n_tok"),
+        F.round(tx.quality_score("text") + F.lit(1e-9), 6).alias("quality_score"),
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.5).join(
+        F.broadcast(losers), "doc_id", "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
