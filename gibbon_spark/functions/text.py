@@ -92,17 +92,8 @@ def lang_id(text: Column | str) -> Column:
     (deterministic). Pure expressions: builds an array of (score, lang)
     structs and takes array_max."""
     scores = lang_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
-            # iterate in REVERSE lang order so that on equal scores
-            # array_max (lexicographic on struct) picks the earliest code
-            for lang, score in sorted(scores.items())
-        ]
-    )
-    # array_max compares structs field-by-field: score first, then lang.
-    # To break ties toward the SMALLEST lang code, negate... simplest:
-    # max on (score, reverse-rank) — encode rank so earlier codes win ties.
+    # array_max compares structs field-by-field: score first, then rank;
+    # rank = -index so equal scores resolve to the earliest lang code.
     ranked = F.array(
         *[
             F.struct(

@@ -204,7 +204,7 @@ def lsh_candidate_pairs(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
-    ) / F.lit(float(sigs.columns.__len__() - 1))
+    ) / F.lit(float(num_hashes))
     return pairs.select(
         "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
     )
