@@ -1336,3 +1336,40 @@ def q_argmin_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(s).getField("k").alias("cheapest_orderkey"),
         F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
     )
+
+
+@query(
+    "stats_aggregates",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 6) AS corr_vt,
+           round(covar_samp(value, user_id), 6) AS covar_vu,
+           round(regr_slope(value, user_id), 6) AS slope_vu,
+           round(regr_intercept(value, user_id), 6) AS intercept_vu,
+           bit_and(event_id) AS band,
+           bit_or(event_id) AS bor,
+           bit_xor(event_id) AS bxor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance,
+    correlation, covariance, linear regression, bitwise aggregates —
+    all single-pass partial+final combinable (Welford-style merges)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr("value", F.unix_timestamp("ts").cast("long")), 6).alias(
+            "corr_vt"
+        ),
+        F.round(F.covar_samp("value", "user_id"), 6).alias("covar_vu"),
+        F.round(F.regr_slope("value", "user_id"), 6).alias("slope_vu"),
+        F.round(F.regr_intercept("value", "user_id"), 6).alias("intercept_vu"),
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+    )
