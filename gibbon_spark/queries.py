@@ -56,6 +56,26 @@ def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def money_sum(col):
+    """Deterministic money-sum: round each row to 4 dp (+1e-9 keeps
+    exactly-representable ties off the half boundary, where Spark rounds
+    half-up and DuckDB half-even), sum EXACTLY as decimal (order-free),
+    then present as a 2 dp double. Per-row double math is bit-identical
+    across engines, so this is flake-proof where a raw double sum can
+    straddle a rounding boundary by ~1e-7 of parallel reassociation.
+    money_sum_sql is the oracle twin."""
+    return F.round(
+        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double"), 2
+    )
+
+
+def money_sum_sql(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))) "
+        "AS DOUBLE), 2)"
+    )
+
+
 # =========================================================================
 # Time-series surface (reference operators #13-#22, SURVEY.md §2.1)
 # =========================================================================
@@ -275,10 +295,10 @@ def q_ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -298,10 +318,10 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -314,7 +334,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     """
     SELECT l.l_orderkey AS o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -341,9 +361,7 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(
         F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     return ts_ops.topk(
         agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
@@ -357,7 +375,7 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name,
            n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -385,9 +403,7 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
     return joined.groupBy("r_name", "n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -585,7 +601,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outer_join_order_counts",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+           round(CAST(coalesce(sum(CAST(round((o.o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 0) AS DOUBLE), 2) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -598,9 +614,17 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-            "total_spend"
-        ),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast(
+                        "decimal(24,4)"
+                    )
+                ),
+                F.lit(0).cast("decimal(24,4)"),
+            ).cast("double"),
+            2,
+        ).alias("total_spend"),
     )
 
 
@@ -643,7 +667,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
+           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -861,7 +885,7 @@ def q_subqueries_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -880,9 +904,7 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1169,10 +1191,10 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_ratio",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT round(100.0 * CAST(sum(CAST(round((CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+                                  ELSE 0 END) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE)
+                 / CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 6) AS promo_pct,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -1189,8 +1211,12 @@ def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+
+    def exact(c):
+        return F.sum(F.round(c + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
+
     return j.agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+        F.round(100.0 * exact(promo) / exact(rev), 6).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1229,9 +1255,9 @@ def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
            round(t.sum_qty, 2) AS sum_qty
-    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    FROM (SELECT l_orderkey, CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING sum(l_quantity) > 150) t
+          HAVING CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) > 150) t
     JOIN orders o ON t.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     """,
@@ -1242,7 +1268,13 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, customer = _prep(spark, sf_dir, "lineitem", "orders", "customer")
     t = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            )
+            .cast("double")
+            .alias("sum_qty")
+        )
         .filter(F.col("sum_qty") > 150)
     )
     j = (
@@ -1261,7 +1293,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
@@ -1281,7 +1313,7 @@ def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
     return j.filter(pred).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1372,4 +1404,137 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and("event_id").alias("band"),
         F.bit_or("event_id").alias("bor"),
         F.bit_xor("event_id").alias("bxor"),
+    )
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY ns.n_name, nc.n_name
+    """,
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue between supplier-nation / customer-nation
+    pairs — two independent dimension chains hang off the fact table,
+    both broadcast; lineitem is scanned once, shuffled once (final agg)."""
+    li, supplier, nation, orders, customer = _prep(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
+    )
+    supp_n = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = orders.join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    j = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: customers ranked by returned-item revenue."""
+    customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return ts_ops.topk(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: double aggregation — per-customer order counts,
+    then the distribution of those counts (two chained shuffles, the
+    second one tiny)."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT substr(c.c_name, 10, 2) AS name_tag,
+           count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY substr(c.c_name, 10, 2)
+    """,
+)
+def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average balance (scalar subquery) with no
+    recent orders (anti join on a filtered build side; every customer in
+    the synthetic data has SOME order, so 'idle' means none since 1998),
+    grouped by a name fragment."""
+    for name, df in zip(
+        ["customer", "orders"], _prep(spark, sf_dir, "customer", "orders")
+    ):
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT substr(c.c_name, 10, 2) AS name_tag,
+               count(*) AS n_custs,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY substr(c.c_name, 10, 2)
+        """
     )
