@@ -269,20 +269,249 @@ def encode_block(
     return w.getvalue()
 
 
+def encode_blocks_vectorized(epochs, values, header_times, is_start):
+    """Encode MANY blocks at once with numpy — bit-identical to calling
+    :func:`encode_block` per block, but the per-record work (delta/dod
+    bucketing, XOR window decisions, variable-width bit packing) is
+    array-parallel across the whole batch instead of a Python loop per
+    row. This is the hot path of distributed encode (spark_ops): blocks
+    are 2 h of one series (~tens-to-hundreds of rows), so per-row Python
+    dominates; batching thousands of blocks into one numpy pass removes
+    it.
+
+    Inputs are parallel arrays sorted so each block's rows are
+    contiguous and ts-ordered: ``epochs`` int64 seconds, ``values``
+    float64, ``header_times`` int64 (2h-aligned, constant within a
+    block), ``is_start`` bool (True on each block's first row).
+
+    Returns ``(payloads, nbits, start_idx)``: per-block byte payloads
+    (each independently byte-aligned, zero-padded — same as
+    BitWriter.getvalue), per-block exact bit counts (int64 array), and
+    the index of each block's first row.
+    """
+    import numpy as np
+
+    epochs = np.asarray(epochs, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    header_times = np.asarray(header_times, dtype=np.int64)
+    is_start = np.asarray(is_start, dtype=bool)
+    n = len(epochs)
+    if n == 0:
+        return [], np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    start_idx = np.flatnonzero(is_start)
+
+    def bitlen(x):  # vectorized uint64 bit_length
+        x = x.copy()
+        res = np.zeros(x.shape, dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = x >= np.uint64(1) << np.uint64(s)
+            res[m] += s
+            x[m] >>= np.uint64(s)
+        return res + x.astype(np.int64)
+
+    # ---- timestamp records: one field per row --------------------------
+    # delta at block starts is vs header_time; elsewhere vs prev row.
+    # Storing the header delta IN the delta array makes dod = plain diff.
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = epochs[1:] - epochs[:-1]
+    delta[is_start] = epochs[is_start] - header_times[is_start]
+    first_delta = delta[start_idx]
+    if ((first_delta < 0) | (first_delta > (1 << 14))).any():
+        bad = first_delta[(first_delta < 0) | (first_delta > (1 << 14))][0]
+        raise ValueError(
+            f"first delta {bad} outside [0, 2^14] — header_time "
+            "must be the 2h-aligned floor of the first timestamp"
+        )
+    dod = np.zeros(n, dtype=np.int64)
+    dod[1:] = delta[1:] - delta[:-1]
+
+    # control prefix folded into one value: bits concatenate MSB-first,
+    # so ('10', 2)+(x, 7) == ((0b10<<7)|x, 9)
+    ts_val = np.empty(n, dtype=np.uint64)
+    ts_len = np.empty(n, dtype=np.int64)
+    zero = dod == 0
+    b1 = (dod >= -63) & (dod <= 64) & ~zero
+    b2 = (dod >= -255) & (dod <= 256) & ~zero & ~b1
+    b3 = (dod >= -2047) & (dod <= 2048) & ~zero & ~b1 & ~b2
+    b4 = ~(zero | b1 | b2 | b3)
+    ts_val[zero], ts_len[zero] = 0, 1
+    ts_val[b1] = ((0b10 << 7) | (dod[b1] + 63)).astype(np.uint64)
+    ts_len[b1] = 9
+    ts_val[b2] = ((0b110 << 9) | (dod[b2] + 255)).astype(np.uint64)
+    ts_len[b2] = 12
+    ts_val[b3] = ((0b1110 << 12) | (dod[b3] + 2047)).astype(np.uint64)
+    ts_len[b3] = 16
+    ts_val[b4] = ((0b1111 << 32) | (dod[b4] & 0xFFFFFFFF)).astype(np.uint64)
+    ts_len[b4] = 36
+    ts_val[is_start] = first_delta.astype(np.uint64)
+    ts_len[is_start] = 14
+
+    # ---- value records: header field + payload field per row -----------
+    bits = values.view(np.uint64)
+    xored = np.empty(n, dtype=np.uint64)
+    xored[1:] = bits[1:] ^ bits[:-1]
+    xored[is_start] = bits[is_start]  # encoder state after first push
+    prev_xor = np.empty(n, dtype=np.uint64)
+    prev_xor[1:] = xored[:-1]
+    prev_xor[0] = 0  # unused (row 0 is a start)
+
+    lz_u = 64 - bitlen(xored)  # uncapped
+    lz = np.minimum(lz_u, 31)
+    lowbit = xored & (~xored + np.uint64(1))
+    tz = np.maximum(bitlen(lowbit) - 1, 0)
+    plz = 64 - bitlen(prev_xor)
+    plowbit = prev_xor & (~prev_xor + np.uint64(1))
+    ptz = np.where(plz == 64, 0, np.maximum(bitlen(plowbit) - 1, 0))
+
+    vzero = (xored == 0) & ~is_start
+    reuse = (lz >= plz) & (tz >= ptz) & ~vzero & ~is_start
+    new = ~(vzero | reuse | is_start)
+    meaningful = 64 - tz - lz
+
+    v0 = np.empty(n, dtype=np.uint64)  # header field
+    l0 = np.empty(n, dtype=np.int64)
+    v1 = np.zeros(n, dtype=np.uint64)  # payload field (len 0 if unused)
+    l1 = np.zeros(n, dtype=np.int64)
+    v0[is_start] = bits[is_start]
+    l0[is_start] = 64
+    v0[vzero], l0[vzero] = 0, 1
+    v0[reuse], l0[reuse] = 0b10, 2
+    v1[reuse] = xored[reuse] >> ptz[reuse].astype(np.uint64)
+    l1[reuse] = 64 - ptz[reuse] - plz[reuse]
+    v0[new] = ((0b11 << 11) | (lz[new] << 6) | (meaningful[new] - 1)).astype(
+        np.uint64
+    )
+    l0[new] = 13
+    v1[new] = xored[new] >> tz[new].astype(np.uint64)
+    l1[new] = meaningful[new]
+
+    # ---- pack: interleave [ts, v_header, v_payload, block_pad] ---------
+    row_bits = ts_len + l0 + l1
+    block_bits = np.add.reduceat(row_bits, start_idx)
+    pad = (-block_bits) % 8  # byte-align each block independently
+    last_idx = np.concatenate([start_idx[1:] - 1, [n - 1]])
+    lens = np.stack([ts_len, l0, l1, np.zeros(n, dtype=np.int64)], axis=1)
+    vals = np.stack([ts_val, v0, v1, np.zeros(n, dtype=np.uint64)], axis=1)
+    lens[last_idx, 3] = pad
+    flat_lens = lens.ravel()
+    flat_vals = vals.ravel()
+    used = flat_lens > 0
+    flat_lens = flat_lens[used]
+    flat_vals = flat_vals[used]
+
+    total = int(flat_lens.sum())
+    starts = np.concatenate([[0], np.cumsum(flat_lens)[:-1]])
+    pos_in_field = np.arange(total, dtype=np.int64) - np.repeat(
+        starts, flat_lens
+    )
+    fvals = np.repeat(flat_vals, flat_lens)
+    shifts = (np.repeat(flat_lens, flat_lens) - 1 - pos_in_field).astype(
+        np.uint64
+    )
+    bitarr = ((fvals >> shifts) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bitarr)  # total is a multiple of 8 by padding
+
+    block_bytes = (block_bits + pad) >> 3
+    offsets = np.concatenate([[0], np.cumsum(block_bytes)])
+    payloads = [
+        packed[offsets[i] : offsets[i + 1]].tobytes()
+        for i in range(len(start_idx))
+    ]
+    return payloads, block_bits, start_idx
+
+
 def decode_block(
     payload: bytes, nbits: int, header_time: int
 ) -> tuple[list[int], list[float]]:
-    r = BitReader(payload, nbits)
-    td, dd = TimestampDecoder(header_time), DoubleDecoder()
+    """Inlined hot-path decode, identical semantics to driving
+    TimestampDecoder/DoubleDecoder over a BitReader (which the golden
+    and property tests pin). The whole payload is one Python big-int
+    cursor: each field extraction is a single C-level shift+mask instead
+    of a per-byte Python loop."""
+    acc = int.from_bytes(payload, "big")
+    total = len(payload) * 8
+    pos = 0
+    unpack, pack = struct.unpack, struct.pack
+
     out_ts: list[int] = []
     out_v: list[float] = []
+    ts_val = 0
+    delta = 0
+    v_bits = 0
+    v_xor = 0
+    first = True
     while True:
-        ts = td.next(r)
-        if ts is None:
-            break
-        v = dd.next(r)
-        if v is None:
-            raise ValueError("value truncated: timestamp without value")
-        out_ts.append(ts)
-        out_v.append(v)
+        # ---- timestamp record (timestamp_stream.rs:81-121) ----
+        if first:
+            if pos + 14 > nbits:
+                break
+            delta = (acc >> (total - pos - 14)) & 0x3FFF
+            pos += 14
+            ts_val = (header_time + delta) & _U64
+        else:
+            if pos + 1 > nbits:
+                break
+            ctl = (acc >> (total - pos - 1)) & 1
+            pos += 1
+            if ctl:
+                nb, bias = 7, 63
+                if (acc >> (total - pos - 1)) & 1:
+                    pos += 1
+                    nb, bias = 9, 255
+                    if (acc >> (total - pos - 1)) & 1:
+                        pos += 1
+                        nb, bias = 12, 2047
+                        if (acc >> (total - pos - 1)) & 1:
+                            nb, bias = 32, 0
+                        pos += 1
+                    else:
+                        pos += 1
+                else:
+                    pos += 1
+                dod = ((acc >> (total - pos - nb)) & ((1 << nb) - 1)) - bias
+                pos += nb
+                if nb == 32 and dod >= (1 << 31):  # sign-extend (module doc)
+                    dod -= 1 << 32
+                delta += dod
+            ts_val = (ts_val + delta) & _U64
+        # ---- value record (double_stream.rs:96-141) ----
+        if first:
+            if pos + 64 > nbits:
+                raise ValueError("value truncated: timestamp without value")
+            v_bits = (acc >> (total - pos - 64)) & _U64
+            pos += 64
+            v_xor = v_bits
+            first = False
+        else:
+            if pos + 1 > nbits:
+                raise ValueError("value truncated: timestamp without value")
+            if (acc >> (total - pos - 1)) & 1:
+                pos += 1
+                if (acc >> (total - pos - 1)) & 1:  # new window
+                    pos += 1
+                    lz = (acc >> (total - pos - 5)) & 0x1F
+                    pos += 5
+                    meaningful = ((acc >> (total - pos - 6)) & 0x3F) + 1
+                    pos += 6
+                    tz = 64 - meaningful - lz
+                    new_xor = (
+                        (acc >> (total - pos - meaningful))
+                        & ((1 << meaningful) - 1)
+                    ) << tz
+                    pos += meaningful
+                else:  # reuse window (from current xor state)
+                    pos += 1
+                    prev_lz = _lz64(v_xor)
+                    prev_tz = 0 if prev_lz == 64 else _tz64(v_xor)
+                    nb = 64 - prev_tz - prev_lz
+                    new_xor = (
+                        (acc >> (total - pos - nb)) & ((1 << nb) - 1)
+                    ) << prev_tz
+                    pos += nb
+                v_bits ^= new_xor
+                v_xor = new_xor
+            else:
+                pos += 1
+        out_ts.append(ts_val)
+        out_v.append(unpack("<d", pack("<Q", v_bits))[0])
     return out_ts, out_v

@@ -49,7 +49,7 @@ def encode_timeseries(
     inside each block — the order-dependence the codec requires
     (SURVEY.md 'hard parts')."""
     _ship_codec_by_value()
-    from gibbon_spark.codec.gorilla import encode_block
+    from gibbon_spark.codec.gorilla import encode_blocks_vectorized
     from gibbon_spark.operators.timeseries import as_timeseries
 
     norm = as_timeseries(df, series=series, ts=ts, value=value)
@@ -75,26 +75,32 @@ def encode_timeseries(
     )
 
     def encode_partition(batches):
+        import numpy as np
         import pandas as pd
 
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for (sid, ht), g in pdf.groupby(
-                ["series_id", "header_time"], sort=False
-            ):
-                payload, nbits = encode_block(
-                    g["epoch"].tolist(), g["value"].tolist(), int(ht)
-                )
-                rows.append((sid, int(ht), len(g), nbits, payload))
+            # whole-batch vectorized encode: every block in the Arrow
+            # batch is packed in one numpy pass (bit-identical to the
+            # scalar per-block codec; see encode_blocks_vectorized)
+            sid = pdf["series_id"].to_numpy()
+            ht = pdf["header_time"].to_numpy(dtype=np.int64)
+            is_start = np.ones(len(pdf), dtype=bool)
+            is_start[1:] = (sid[1:] != sid[:-1]) | (ht[1:] != ht[:-1])
+            payloads, nbits, start_idx = encode_blocks_vectorized(
+                pdf["epoch"].to_numpy(dtype=np.int64),
+                pdf["value"].to_numpy(dtype=np.float64),
+                ht,
+                is_start,
+            )
+            ends = np.concatenate([start_idx[1:], [len(pdf)]])
             return pd.DataFrame(
-                rows,
-                columns=[
-                    "series_id",
-                    "header_time",
-                    "n_samples",
-                    "n_bits",
-                    "payload",
-                ],
+                {
+                    "series_id": sid[start_idx],
+                    "header_time": ht[start_idx],
+                    "n_samples": (ends - start_idx).astype("int32"),
+                    "n_bits": nbits,
+                    "payload": payloads,
+                }
             )
 
         carry: pd.DataFrame | None = None

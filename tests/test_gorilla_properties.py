@@ -78,6 +78,54 @@ def test_double_stream_roundtrip_property(vals):
         assert struct.pack("<d", a) == struct.pack("<d", b)
 
 
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # header bucket no.
+            st.integers(min_value=0, max_value=7199),  # first offset
+            increments,
+            st.lists(finite_doubles, min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_vectorized_encode_matches_scalar(blocks):
+    """encode_blocks_vectorized (the distributed hot path) must be
+    bit-identical to the scalar per-block codec for any batch of
+    blocks, including dupes, every dod bucket, window reuse chains."""
+    import numpy as np
+
+    from gibbon_spark.codec.gorilla import encode_blocks_vectorized
+
+    epochs, vals, hts, starts = [], [], [], []
+    for bucket, off, incs, bvals in blocks:
+        header = 7200 * bucket
+        ts = [header + off]
+        for inc in incs:
+            ts.append(ts[-1] + inc)
+        n = min(len(ts), len(bvals) + 1)
+        for i in range(n):
+            epochs.append(ts[i])
+            vals.append(bvals[i % len(bvals)])
+            hts.append(header)
+            starts.append(i == 0)
+    payloads, nbits, start_idx = encode_blocks_vectorized(
+        np.array(epochs, dtype=np.int64),
+        np.array(vals, dtype=np.float64),
+        np.array(hts, dtype=np.int64),
+        np.array(starts, dtype=bool),
+    )
+    ends = list(start_idx[1:]) + [len(epochs)]
+    for k, (s, e) in enumerate(zip(start_idx, ends)):
+        ref_payload, ref_nbits = encode_block(
+            epochs[s:e], vals[s:e], hts[s]
+        )
+        assert payloads[k] == ref_payload
+        assert int(nbits[k]) == ref_nbits
+
+
 @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=0, max_size=40),
        st.integers(min_value=1, max_value=64))
 @settings(max_examples=100, deadline=None)
