@@ -362,6 +362,9 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+_IVF_MAX_TRAIN = 25_600  # FAISS-style bound: codebooks train on a sample
+
+
 def ivf_assign(
     embeddings: DataFrame,
     *,
@@ -370,30 +373,90 @@ def ivf_assign(
     n_lists: int = 16,
     seed: int = 42,
 ):
-    """Train a k-means coarse quantizer (Spark MLlib, kmeans|| init) and
-    assign every vector to its nearest-centroid inverted list.
+    """Train a k-means coarse quantizer and assign every vector to its
+    nearest-centroid (euclidean) inverted list.
 
-    Returns (assigned DataFrame with a ``list_id`` column, centroids as
-    a numpy array). The quantizer is the standard IVF scale path: at
-    query time only nprobe/n_lists of the corpus is scored, and the
-    lists are just a partition key — the index IS a DataFrame."""
+    The quantizer trains DRIVER-SIDE in numpy on a deterministic
+    hash-capped sample (≤ ~25k vectors — the standard IVF practice:
+    codebook quality saturates at a few hundred points per centroid, so
+    training cost is independent of corpus size). Assignment stays
+    distributed: one Arrow-batched GEMM pass over the corpus with the
+    centroid matrix shipped in the closure. Returns (assigned DataFrame
+    with a ``list_id`` column, centroids as a numpy array)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(F.col(vec_col)).alias("features"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    # a coarse quantizer doesn't need convergence — 8 iters is plenty
-    model = KMeans(k=n_lists, seed=seed, maxIter=8).fit(feat)
-    assigned = model.transform(feat).select(
-        "id", "vec", F.col("prediction").alias("list_id")
+    n = feat.count()
+    if n == 0:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    # deterministic distributed sample: keep ids whose hash lands in the
+    # first ceil(n/MAX)-th of the hash space
+    denom = max(1, -(-n // _IVF_MAX_TRAIN))
+    train = feat
+    if denom > 1:
+        train = feat.filter(
+            F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), denom)
+            == 0
+        )
+    X = np.stack(train.select("vec").toPandas()["vec"].to_numpy()).astype(
+        "float64"
     )
-    centers = model.clusterCenters()
-    centroids = np.array(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in centers]
+    k = min(n_lists, len(X))
+
+    # k-means++ init + Lloyd iterations, all numpy (a ≤25k x d problem);
+    # distances via the GEMM identity ||x-c||² = ||x||² - 2x·c + ||c||²
+    rng = np.random.default_rng(seed)
+    xsq = (X**2).sum(axis=1)
+
+    def dist2(C):
+        return np.maximum(
+            xsq[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :], 0.0
+        )
+
+    centroids = X[[rng.integers(0, len(X))]].copy()
+    best = dist2(centroids)[:, 0]
+    for _ in range(1, k):
+        tot = best.sum()
+        pick = (
+            rng.integers(0, len(X))
+            if tot <= 0
+            else rng.choice(len(X), p=best / tot)
+        )
+        centroids = np.concatenate([centroids, X[[pick]]])
+        best = np.minimum(best, dist2(X[[pick]])[:, 0])
+    for _ in range(8):  # a coarse quantizer doesn't need convergence
+        labels = dist2(centroids).argmin(axis=1)
+        for j in range(k):
+            pts = X[labels == j]
+            if len(pts):
+                centroids[j] = pts.mean(axis=0)
+
+    cent = centroids.copy()
+    half_sq = 0.5 * (cent**2).sum(axis=1)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2)
+            scores = mat @ cent.T - half_sq
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "list_id": scores.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    assigned = feat.mapInPandas(
+        assign, f"id long, vec {vec_type}, list_id int"
     )
     return assigned, centroids
 

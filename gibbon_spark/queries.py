@@ -1538,3 +1538,342 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY substr(c.c_name, 10, 2)
         """
     )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CAST(round((CASE WHEN supp_nation = 'NATION_0'
+                                      THEN volume ELSE 0 END) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE)
+                 / CAST(sum(CAST(round((volume) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_items
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of a region's market per
+    year. Fact table scanned once; both dimension chains (customer →
+    nation → region, supplier → nation) collapse to broadcast hashes."""
+    li, orders, customer, nation, region, supplier = _prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    cust_in_region = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    ords = (
+        orders.join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp_n = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    j = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey).join(
+        F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def exact(c):
+        return F.sum(F.round(c + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
+
+    return j.groupBy("o_year").agg(
+        F.round(
+            exact(F.when(F.col("supp_nation") == "NATION_0", volume).otherwise(F.lit(0.0)))
+            / exact(volume),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT ns.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY ns.n_name, year(o.o_orderdate)
+    """,
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation x order year for a
+    part family; retail price stands in for supply cost (no partsupp
+    table in this dataset). Part filter prunes the fact rows via a
+    broadcast hash before the wide joins."""
+    li, part, supplier, nation, orders = _prep(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    red_parts = part.filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(
+            F.broadcast(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return j.groupBy("nation", "o_year").agg(money_sum(profit).alias("sum_profit"))
+
+
+@query(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: urgent-vs-other order counts per lineitem
+    status for one ship year (linestatus stands in for shipmode, which
+    this dataset lacks). Conditional-aggregation join shape."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+           F.col("l_orderkey") == F.col("o_orderkey"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the quarter's max revenue.
+    The max is a one-row broadcast scalar joined back against the
+    aggregate — no second scan of the fact table. Revenue is the
+    order-free decimal money sum, so the equality predicate is exact."""
+    li, supplier = _prep(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx")).select(
+        "supplier_no", "total_revenue"
+    )
+    return (
+        supplier.join(F.broadcast(top), supplier.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier variety per part attribute
+    combo (lineitem is the part-supplier link; no partsupp table).
+    count(DISTINCT) expands to a two-stage partial dedup + count."""
+    li, part = _prep(spark, sf_dir, "lineitem", "part")
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    j = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, min_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY min_price, l_suppkey) AS rn
+      FROM costs
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, r.min_price
+    FROM ranked r
+    JOIN part p     ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1 AND p.p_size <= 10
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: the cheapest supplier per small part (observed
+    min sale price stands in for ps_supplycost). The correlated-min
+    subquery becomes a window argmin with a unique suppkey tiebreak;
+    min() copies an input value, so cross-engine equality is exact."""
+    li, part, supplier = _prep(spark, sf_dir, "lineitem", "part", "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    small = part.filter(F.col("p_size") <= 10).select("p_partkey", "p_name")
+    return (
+        best.join(F.broadcast(small), best.l_partkey == small.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+    )
+
+
+@query(
+    "q20_volume_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM (
+        SELECT l.l_suppkey,
+               round(CAST(sum(CAST(round((l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_suppkey
+      ) pq
+      WHERE pq.l_suppkey = s.s_suppkey AND pq.qty > 2200
+    )
+    """,
+)
+def q_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who moved serious volume of a part
+    family (shipped quantity stands in for partsupp availability). The
+    EXISTS collapses to a left-semi join against a pre-aggregated,
+    pre-filtered build side."""
+    li, part, supplier = _prep(spark, sf_dir, "lineitem", "part", "supplier")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    pq = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(money_sum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 2200)
+    )
+    return supplier.join(
+        F.broadcast(pq), supplier.s_suppkey == pq.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH li_o AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 1000 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM li_o GROUP BY l_orderkey
+    ), waiting AS (
+      SELECT DISTINCT li_o.l_orderkey, li_o.l_suppkey
+      FROM li_o JOIN per_order p ON li_o.l_orderkey = p.l_orderkey
+      WHERE li_o.is_late = 1 AND p.n_supp > 1 AND p.n_late_supp = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the ONLY late shipper on
+    multi-supplier orders (ship lag vs order date stands in for
+    commit/receipt dates). The EXISTS / NOT-EXISTS pair becomes one
+    per-order aggregate joined back — a single extra shuffle instead of
+    two correlated scans of the fact table."""
+    li, orders, supplier = _prep(spark, sf_dir, "lineitem", "orders", "supplier")
+    li_o = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+        ).cast("int").alias("is_late"),
+    )
+    # one pass over the fact join: when exactly one supplier is late,
+    # max(case when late then suppkey) IS that supplier — no second
+    # lineitem scan for the candidate rows
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("l_suppkey"),
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", "l_suppkey")
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
