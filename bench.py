@@ -32,6 +32,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers so per-query numbers measure the plan
     qs["ts_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Python/Arrow worker pool (one worker per core) so the first
+    # pandas-UDF query isn't charged ~2s of worker spawn
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

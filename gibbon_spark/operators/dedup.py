@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gibbon_spark.functions.text import fingerprint, tokens
@@ -83,9 +83,32 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 def shingle_table(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows, distinct per doc."""
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    """(id, shingle) inverted-index rows, distinct per doc.
+
+    Formulated as posexplode + lead() over a per-doc window instead of
+    the equivalent array expression ``transform(sequence, i ->
+    concat_ws(slice(toks, i, n)))``: higher-order array functions
+    evaluate interpreted (CodegenFallback) and slice-per-position is
+    O(len²) per doc, measured ~25× slower than this whole-stage-codegen
+    window at sf0.1. Costs one extra shuffle on doc id — bounded,
+    shingle rows ≈ tokens, and the downstream groupBy/join reuses the
+    clustering. Semantics (incl. short docs: a single shingle of
+    whatever tokens exist) match the oracle's slice-based SQL exactly."""
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    nexts = [F.lead("tok", i).over(w) for i in range(1, n)]
+    shingle = F.concat_ws(" ", F.col("tok"), *nexts)  # skips trailing nulls
+    keep = (
+        nexts[-1].isNotNull() | (F.col("pos") == 0) if nexts else F.lit(True)
+    )
+    return (
+        base.select("id", shingle.alias("shingle"), keep.alias("keep"))
+        .filter("keep")
+        .select("id", "shingle")
+        .distinct()
     )
 
 
@@ -287,10 +310,9 @@ def simhash(
     n: int = 3,
 ) -> DataFrame:
     """(id, simhash) — majority vote per bit over distinct n-gram shingles."""
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("token"),
-    ).select("id", F.md5("token").alias("h"))
+    tok = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).select(
+        "id", F.md5("shingle").alias("h")
+    )
     terms = simhash_bit_terms("h")
     agg = tok.groupBy("id").agg(
         *[F.expr(t).alias(f"b{i}") for i, t in enumerate(terms)]
