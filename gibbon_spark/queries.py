@@ -1877,3 +1877,87 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# FIR-EWMA smoothing + map-function gallery
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8
+_EWMA_DECAY = 0.75  # weight_j = decay^j over the last 8 points
+
+
+def _ewma_sql() -> str:
+    """Oracle twin of q_ts_ewma_fir — generated from the same tap
+    constants so the two sides cannot drift."""
+    num = " + ".join(
+        f"({_EWMA_DECAY ** j!r} * coalesce(lag(value, {j}) OVER w, 0))"
+        for j in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0 ELSE {_EWMA_DECAY ** j!r} END)"
+        for j in range(_EWMA_TAPS)
+    )
+    return f"""
+    SELECT user_id, event_id, value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("ts_ewma_fir", _ewma_sql())
+def q_ts_ewma_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average as an 8-tap FIR filter
+    (weights decay^j over the trailing window, renormalized near series
+    start). A true infinite-horizon EWMA is a sequential recursion —
+    hostile to a shuffle engine — but the tail weight beyond 8 taps is
+    decay^8 ≈ 10%, and a fixed tap count keeps the whole computation in
+    per-series window lag() expressions: one shuffle, all codegen,
+    bit-identical to the SQL oracle (same expression tree both sides)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_TAPS):
+        tap = F.lag("value", j).over(w) if j else F.col("value")
+        wj = F.lit(_EWMA_DECAY**j)
+        t_num = wj * F.coalesce(tap, F.lit(0.0))
+        t_den = F.when(tap.isNull(), F.lit(0.0)).otherwise(wj)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return events.select(
+        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@query(
+    "map_ops_events",
+    """
+    SELECT event_id,
+           event_type AS type_val,
+           2 AS n_keys,
+           'k,type' AS keys_sorted,
+           (CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END) AS n_c_vals
+    FROM events
+    """,
+)
+def q_map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar functions (SURVEY.md §2.2 scalar-function row):
+    build a map from event fields, then element_at / map_keys /
+    map_filter / size over it. The oracle computes the expected values
+    directly from the source columns — it checks that Spark's map
+    semantics reduce to the right scalars, since DuckDB's MAP type
+    cannot round-trip through the hash compare."""
+    (events,) = _prep(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return events.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(F.map_filter(m, lambda k, v: v.like("c%"))).alias("n_c_vals"),
+    )

@@ -637,3 +637,98 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface demonstrations (SURVEY.md §2.2 'UDF/UDAF/UDTF'): the three
+# extension points a reference user would reach for, each the Arrow-
+# optimized variant, each oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_token_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t)/32.0) AS INT))) AS i
+      FROM d
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(t[i*32+1 : (i+1)*32], ' ') AS chunk_text,
+           CAST(len(t[i*32+1 : (i+1)*32]) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def q_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): split each document into 32-token
+    context chunks — the training-data chunking step — as a LATERAL
+    table function. Arrow-optimized eval; the class is defined inside
+    this function so cloudpickle ships it by value (executors cannot
+    import gibbon_spark). One generator row in → ceil(n/32) rows out,
+    fully parallel per partition."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    (docs,) = _prep(spark, sf_dir, "documents")
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int")
+    class TokenChunks:
+        def eval(self, doc_id, text):
+            import re
+
+            toks = re.split(r"\s+", text if text is not None else "", flags=re.ASCII)
+            size = 32
+            n_chunks = max(1, -(-len(toks) // size))
+            for i in range(n_chunks):
+                chunk = toks[i * size : (i + 1) * size]
+                yield doc_id, i, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("token_chunks", TokenChunks)
+    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT tc.* FROM _udtf_docs, LATERAL token_chunks(doc_id, text) tc"
+    )
+
+
+@query(
+    "udaf_geometric_mean",
+    """
+    SELECT lang,
+           round(exp(avg(ln(1.0 + length(text)))), 6) AS gmean_len,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (grouped-agg pandas_udf): per-language geometric mean
+    of document length — an aggregate Spark lacks natively. Arrow ships
+    each group's column once; the fold is a numpy reduction. Defined
+    in-function so cloudpickle ships it by value."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+
+    # explicit GROUPED_AGG eval type: `from __future__ import annotations`
+    # stringifies type hints, which breaks pandas_udf hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(x):
+        import numpy as np
+
+        v = x.to_numpy(dtype="float64")
+        return float(np.exp(np.log(1.0 + v).mean()))
+
+    # pandas UDAFs cannot mix with JVM aggregates in one agg(), so the
+    # row count is a (cheap) second pandas aggregate over the same group
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(x):
+        return len(x)
+
+    return docs.groupBy("lang").agg(
+        F.round(gmean(F.length("text")), 6).alias("gmean_len"),
+        cnt(F.lit(1)).alias("n_docs"),
+    )
