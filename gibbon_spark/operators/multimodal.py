@@ -70,21 +70,140 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """REAL-DECODER STUB. In production: mapInPandas over payload with
-    PIL → pixel arrays / resize / EXIF. The library is absent here by
-    design; the signature and batch shape are the deliverable."""
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg — not available in this "
-        "container; use extract_features(fake=True) for the plumbing path"
+def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
+    """Mixed-modality adapter: docs become image/audio/video payloads
+    round-robin by id, with typed metadata derived DETERMINISTICALLY
+    from the payload length — so every downstream media operator has all
+    three branches to exercise and the oracle can recompute the metadata
+    exactly (formulas mirrored in the query SQL)."""
+    L = F.octet_length(F.encode("text", "UTF-8"))
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_image = F.col("doc_id") % 3 == 0
+    is_audio = F.col("doc_id") % 3 == 1
+    is_video = F.col("doc_id") % 3 == 2
+    duration = (1000 + (L % 50) * 200).cast("long")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.concat(modality, F.lit("/fake")).alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(is_image, (16 + L % 320).cast("int")).alias("width"),
+            F.when(is_image, (16 + (L * 7) % 240).cast("int")).alias("height"),
+            F.when(~is_image, duration).alias("duration_ms"),
+            F.when(is_audio, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(is_video, (duration / 40).cast("int")).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, mean_luma double"
+)
+
+
+def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Image decode through the REAL Arrow batch path (mapInPandas over
+    the payload column, one numpy pass per batch). The pixel source is a
+    clearly-marked STUB — this container has no PIL/libjpeg — standing
+    in deterministic md5-seeded luma for the decoded bitmap; everything
+    else (schema, batch shape, meta handling, vectorized math) is the
+    production plumbing."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/libjpeg — not available in "
+            "this container; fake=True exercises identical plumbing"
+        )
+    imgs = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lumas = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                # STUB pixel source: first md5 byte as mean luminance —
+                # a real decoder would produce the pixel array here
+                lumas.append(hashlib.md5(b).digest()[0] / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_pixels": (
+                        pdf["width"].astype("int64")
+                        * pdf["height"].astype("int64")
+                    ),
+                    "mean_luma": lumas,
+                }
+            )
+
+    return imgs.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+def resize_plan(
+    media: DataFrame, *, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize planning — the metadata half of a resize
+    stage, pure JVM expressions (the pixel resample itself would live in
+    the decode_image stub). out dims = floor(dim * min(tw/w, th/h))."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    return media.filter(F.col("modality") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
     )
 
 
 def sample_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """REAL-DECODER STUB (ffmpeg frame sampling)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg — not available in this "
-        "container; use extract_features(fake=True) for the plumbing path"
+    """Frame sampling as a DISTRIBUTED row-generation plan: one output
+    row per (video, timestamp) at ``every_ms`` intervals via
+    sequence()+explode — no collect, fan-out bounded by duration/step.
+    The frame *content* is the stubbed part (no ffmpeg here): a
+    deterministic md5 of (payload, frame_ts) stands in for the decoded
+    frame bytes, so downstream dedup/feature stages stay exercisable
+    and oracle-checkable."""
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms") - 1,
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    ).select(
+        "media_id",
+        "frame_ts_ms",
+        F.md5(
+            F.concat(
+                "payload",
+                F.encode(
+                    F.concat(F.lit(":"), F.col("frame_ts_ms").cast("string")),
+                    "UTF-8",
+                ),
+            )
+        ).alias("frame_md5"),
     )
 
 

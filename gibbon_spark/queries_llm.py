@@ -732,3 +732,66 @@ def q_udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gmean(F.length("text")), 6).alias("gmean_len"),
         cnt(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "multimodal_decode_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(16 + L % 320 AS INT) AS width,
+             CAST(16 + (L * 7) % 240 AS INT) AS height
+      FROM m
+    )
+    SELECT media_id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(floor(width  * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+           CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h
+    FROM dims
+    """,
+)
+def q_multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image branch of the media pipeline: decode (mapInPandas Arrow
+    plumbing, stubbed pixel source) + aspect-preserving resize plan.
+    The oracle recomputes the deterministic metadata formulas and the
+    resize math; the stub-only column (mean_luma) is pytest-asserted
+    instead (tests/test_multimodal.py)."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm.documents_as_mixed_media(docs)
+    decoded = mm.decode_image(media).select("media_id", "n_pixels")
+    plan = mm.resize_plan(media)
+    return plan.join(decoded, "media_id").select(
+        "media_id", "width", "height", "n_pixels", "out_w", "out_h"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             1000 + (octet_length(encode(text)) % 50) * 200 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(i AS BIGINT) AS frame_ts_ms,
+           md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM v CROSS JOIN UNNEST(range(0, duration_ms, 1000)) AS t(i)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video branch: distributed frame sampling (sequence+explode row
+    generation, one row per second of fake footage) with deterministic
+    md5 frame fingerprints standing in for decoded frame bytes."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm.documents_as_mixed_media(docs)
+    return mm.sample_video_frames(media, every_ms=1000)

@@ -28,13 +28,66 @@ def test_media_schema(media):
     assert media.schema["payload"].dataType.typeName() == "binary"
 
 
-def test_decoder_stubs_raise(media):
+def test_real_decoder_paths_raise(media):
     with pytest.raises(NotImplementedError):
-        mm.decode_image(media)
-    with pytest.raises(NotImplementedError):
-        mm.sample_video_frames(media)
+        mm.decode_image(media, fake=False)
     with pytest.raises(NotImplementedError):
         mm.extract_features(media, fake=False)
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    return mm.documents_as_mixed_media(docs).cache()
+
+
+def test_mixed_media_modalities(mixed):
+    rows = {r.media_id: r for r in mixed.collect()}
+    for mid, r in rows.items():
+        expect = ["image", "audio", "video"][mid % 3]
+        assert r.modality == expect
+        if expect == "image":
+            assert r.meta.width >= 16 and r.meta.height >= 16
+            assert r.meta.duration_ms is None
+        else:
+            assert r.meta.duration_ms >= 1000
+            assert (r.meta.sample_rate == 16000) == (expect == "audio")
+            assert (r.meta.n_frames is not None) == (expect == "video")
+
+
+def test_decode_image_stub_plumbing(mixed):
+    out = {r.media_id: r for r in mm.decode_image(mixed).collect()}
+    src = {r.media_id: r for r in mixed.collect() if r.modality == "image"}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        meta = src[mid].meta
+        assert (r.width, r.height) == (meta.width, meta.height)
+        assert r.n_pixels == meta.width * meta.height
+        expected_luma = hashlib.md5(bytes(src[mid].payload)).digest()[0] / 255.0
+        assert abs(r.mean_luma - expected_luma) < 1e-12
+
+
+def test_resize_plan_aspect_preserving(mixed):
+    for r in mm.resize_plan(mixed, target_w=224, target_h=224).collect():
+        assert max(r.out_w, r.out_h) <= 224
+        # aspect ratio preserved to integer-floor precision
+        s = min(224 / r.width, 224 / r.height)
+        assert r.out_w == int(r.width * s) and r.out_h == int(r.height * s)
+
+
+def test_sample_video_frames_rows(mixed):
+    frames = mm.sample_video_frames(mixed, every_ms=1000).collect()
+    vids = {r.media_id: r for r in mixed.collect() if r.modality == "video"}
+    by_vid: dict = {}
+    for f in frames:
+        by_vid.setdefault(f.media_id, []).append(f)
+    assert set(by_vid) == set(vids)
+    for mid, fs in by_vid.items():
+        dur = vids[mid].meta.duration_ms
+        assert len(fs) == (dur + 999) // 1000  # 0..dur-1 step 1000
+        payload = bytes(vids[mid].payload)
+        f0 = sorted(fs, key=lambda f: f.frame_ts_ms)[0]
+        assert f0.frame_md5 == hashlib.md5(payload + b":0").hexdigest()
 
 
 def test_fake_features_deterministic_and_correct(spark, media):
