@@ -74,3 +74,33 @@ def salted_distinct_count(
         F.countDistinct(distinct_col).alias("_d")
     )
     return partial.groupBy(*keys).agg(F.sum("_d").alias("n_distinct"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for when AQE's skew splitting is unavailable
+    (e.g. the build side is too big to broadcast AND one join key is
+    hot): salt the FACT side into S shards and replicate the DIM side
+    once per shard, so a hot key's rows spread over S reducers instead
+    of one.
+
+    Replication multiplies the dim shuffle by S — use only when dim ≪
+    fact (the usual case for a hot-key dimension join). Result is
+    row-identical to ``fact.join(dim, on, how)`` for 'inner'/'left'.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets
+    f = fact.withColumn("_salt", salt)
+    explode_salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("_salt")
+    d = dim.select("*", explode_salts)
+    joined = f.join(d, [on, "_salt"], how)
+    return joined.drop("_salt")

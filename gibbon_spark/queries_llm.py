@@ -186,13 +186,19 @@ def q_token_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint (md5 of normalized text) + winnowing-style
-    rolling fingerprint (min md5 over 8-token windows)."""
+    rolling fingerprint (min md5 over 8-token windows). The 8-grams come
+    from the codegen window shingle_table (the per-row array expression
+    tx.rolling_fingerprint computes the same value but interpreted,
+    O(len²) per doc — kept for expression-level use on short strings)."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.fingerprint("text").alias("content_hash"),
-        tx.rolling_fingerprint("text", window=8).alias("rolling_fp"),
+    rolling = (
+        dedup.shingle_table(docs, n=8)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.min(F.md5("shingle")).alias("rolling_fp"))
     )
+    return docs.select(
+        "doc_id", tx.fingerprint("text").alias("content_hash")
+    ).join(rolling, "doc_id")
 
 
 # ---------------------------------------------------------------------------

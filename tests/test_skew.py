@@ -58,3 +58,32 @@ def test_salted_distinct_equals_direct(spark, skewed):
         r.k: r.n_distinct for r in salted_distinct_count(skewed, ["k"], "u").collect()
     }
     assert direct == salted
+
+
+def test_salted_join_matches_plain_join(spark):
+    from gibbon_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    # make key 0 hot: 60% of rows
+    fact = fact.withColumn(
+        "k", F.when(F.col("v") % 10 < 6, F.lit(0)).otherwise(F.col("k"))
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(7)], "k long, name string"
+    )
+    got = salted_join(fact, dim, "k", salt_buckets=8).orderBy("v")
+    want = fact.join(dim, "k").orderBy("v")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+    # left join keeps unmatched fact rows
+    dim_partial = dim.filter(F.col("k") < 3)
+    got_l = salted_join(fact, dim_partial, "k", salt_buckets=8, how="left")
+    want_l = fact.join(dim_partial, "k", "left")
+    assert got_l.count() == want_l.count()
+    assert (
+        got_l.filter(F.col("name").isNull()).count()
+        == want_l.filter(F.col("name").isNull()).count()
+    )
