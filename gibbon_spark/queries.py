@@ -1961,3 +1961,34 @@ def q_map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(F.map_filter(m, lambda k, v: v.like("c%"))).alias("n_c_vals"),
     )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT sum(part_value) * 0.0007 FROM pv)
+    """,
+)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose traded value exceeds a fraction of
+    the corpus total (lineitem value stands in for partsupp stock
+    value). The global-total scalar subquery is a one-row broadcast over
+    the already-aggregated per-part values — the fact table is scanned
+    once. Completes the full 22-shape TPC-H sweep."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "part_value"
+        )
+    )
+    thr = pv.agg((F.sum("part_value") * 0.0007).alias("thr"))
+    return pv.join(F.broadcast(thr), pv.part_value > F.col("thr")).select(
+        "l_partkey", "part_value"
+    )

@@ -10,7 +10,8 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
 
-ALLOWED_NESTED_LOOP = {"sim_topk_lsh"}
+# keep in sync with tools/explain_audit.py:ALLOWED_NESTED_LOOP
+ALLOWED_NESTED_LOOP = {"sim_topk_lsh", "q11_important_stock"}
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))

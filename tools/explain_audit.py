@@ -29,6 +29,9 @@ ALLOWED_NESTED_LOOP = {
     # driver-bounded query set broadcast against banded candidates;
     # the corpus side never replicates
     "sim_topk_lsh",
+    # one-row broadcast (global-total scalar) joined by a range
+    # predicate — the standard scalar-subquery plan, O(n) not O(n²)
+    "q11_important_stock",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
