@@ -42,7 +42,13 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
+        if i % 20 == 19:
+            # nudge the driver JVM to GC: with a large heap it otherwise
+            # never collects, so the ContextCleaner never releases the
+            # accumulated shuffle files / broadcasts of prior queries,
+            # which degrades the tail of the run
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 4)

@@ -137,8 +137,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -348,16 +348,16 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter → joins → agg → top-k.
-    customer and orders are small relative to lineitem, so Catalyst
-    broadcasts them (hinted explicitly — at 100 TB the customer side of a
-    filtered segment still fits the 10 MB-1 GB broadcast budget; if it
-    ever doesn't, AQE falls back to sort-merge on the shuffled key)."""
+    No broadcast hints: customer/orders sizes grow with SF, so the
+    planner decides — static stats + AQE broadcast them while they fit
+    the 10 MB budget and fall back to sort-merge on the shuffled key at
+    100 TB, where a forced broadcast would OOM the executors."""
     customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
     cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ords = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        cust, orders.o_custkey == cust.c_custkey, "inner"
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-    joined = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey, "inner")
+    joined = li.join(ords, li.l_orderkey == ords.o_orderkey, "inner")
     agg = joined.groupBy(
         F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
     ).agg(
@@ -386,10 +386,11 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: fact (lineitem) joined to a broadcast
-    dim chain. The dims pre-join driver-free into one broadcast relation,
-    so the fact table is scanned once with zero shuffles before the final
-    aggregation."""
+    """TPC-H Q5-shaped star join: the dims pre-join into one relation
+    keyed by orderkey, so the fact table is scanned once. Join strategy
+    is planner-chosen (broadcast at test SF where the chain fits 10 MB,
+    sort-merge at 100 TB) — hints are reserved for provably bounded
+    sides."""
     li, orders, customer, nation, region = _prep(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
@@ -398,10 +399,10 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
-    ords = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey).select(
+    ords = orders.join(dims, orders.o_custkey == dims.c_custkey).select(
         "o_orderkey", "n_name", "r_name"
     )
-    joined = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+    joined = li.join(ords, li.l_orderkey == ords.o_orderkey)
     return joined.groupBy("r_name", "n_name").agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -1202,13 +1203,14 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped: conditional aggregation ratio over a broadcast
-    dim join (part is small; lineitem never shuffles pre-aggregation)."""
+    """TPC-H Q14-shaped: conditional aggregation ratio over a dim join
+    (planner broadcasts part at test SF; lineitem never shuffles
+    pre-aggregation)."""
     li, part = _prep(spark, sf_dir, "lineitem", "part")
     j = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
-    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ).join(part, li.l_partkey == part.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
 
@@ -1264,7 +1266,9 @@ def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped: aggregate + HAVING, joined back to dims. The
-    HAVING output is tiny, so both joins broadcast it."""
+    HAVING output is tiny; AQE sees the runtime size and broadcasts it
+    (a static hint would guess — the aggregate's size is unknowable at
+    plan time)."""
     li, orders, customer = _prep(spark, sf_dir, "lineitem", "orders", "customer")
     t = (
         li.groupBy("l_orderkey")
@@ -1278,7 +1282,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 150)
     )
     j = (
-        F.broadcast(t)
+        t
         .join(orders, t.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
     )
@@ -1306,7 +1310,7 @@ def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides — Catalyst extracts the common l_partkey join key
     and pushes the per-side conjuncts below the join."""
     li, part = _prep(spark, sf_dir, "lineitem", "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     pred = (
         ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
         | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
@@ -1426,8 +1430,10 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped: revenue between supplier-nation / customer-nation
-    pairs — two independent dimension chains hang off the fact table,
-    both broadcast; lineitem is scanned once, shuffled once (final agg)."""
+    pairs — two independent dimension chains hang off the fact table;
+    lineitem is scanned once, shuffled once (final agg). Dim-chain join
+    strategy is left to the planner (broadcast while small, shuffle at
+    scale)."""
     li, supplier, nation, orders, customer = _prep(
         spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
     )
@@ -1437,12 +1443,12 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = customer.join(
         nation, customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    ords = orders.join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey).select(
+    ords = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
         "o_orderkey", "cust_nation"
     )
     j = (
-        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-        .join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return j.groupBy("supp_nation", "cust_nation").agg(
@@ -1470,8 +1476,8 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
     j = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
     )
     agg = j.groupBy("c_custkey", "c_name").agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -1567,7 +1573,8 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped: one nation's share of a region's market per
     year. Fact table scanned once; both dimension chains (customer →
-    nation → region, supplier → nation) collapse to broadcast hashes."""
+    nation → region, supplier → nation) pre-collapse to slim relations
+    the planner joins by size (broadcast at test SF)."""
     li, orders, customer, nation, region, supplier = _prep(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
     )
@@ -1578,14 +1585,14 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     ords = (
-        orders.join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        orders.join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     supp_n = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("supp_nation")
     )
-    j = li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey).join(
-        F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey).join(
+        supp_n, li.l_suppkey == supp_n.s_suppkey
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -1620,8 +1627,8 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped: profit by supplier nation x order year for a
     part family; retail price stands in for supply cost (no partsupp
-    table in this dataset). Part filter prunes the fact rows via a
-    broadcast hash before the wide joins."""
+    table in this dataset). The part filter prunes fact rows in the
+    first join; strategies are planner-chosen by side size."""
     li, part, supplier, nation, orders = _prep(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
     )
@@ -1632,10 +1639,10 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("n_name").alias("nation")
     )
     j = (
-        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        li.join(red_parts, li.l_partkey == red_parts.p_partkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .join(
-            F.broadcast(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))),
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
             li.l_orderkey == F.col("o_orderkey"),
         )
     )
@@ -1666,7 +1673,7 @@ def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+    ).join(orders.select("o_orderkey", "o_orderpriority"),
            F.col("l_orderkey") == F.col("o_orderkey"))
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return j.groupBy("l_linestatus").agg(
@@ -1740,7 +1747,7 @@ def q_q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "MEDIUM")
         & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
-    j = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    j = li.join(parts, li.l_partkey == parts.p_partkey)
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -1778,8 +1785,8 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     small = part.filter(F.col("p_size") <= 10).select("p_partkey", "p_name")
     return (
-        best.join(F.broadcast(small), best.l_partkey == small.p_partkey)
-        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        best.join(small, best.l_partkey == small.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "min_price")
     )
 
@@ -1809,13 +1816,13 @@ def q_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supplier = _prep(spark, sf_dir, "lineitem", "part", "supplier")
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     pq = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_suppkey")
         .agg(money_sum(F.col("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 2200)
     )
     return supplier.join(
-        F.broadcast(pq), supplier.s_suppkey == pq.l_suppkey, "left_semi"
+        pq, supplier.s_suppkey == pq.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -1850,7 +1857,7 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     two correlated scans of the fact table."""
     li, orders, supplier = _prep(spark, sf_dir, "lineitem", "orders", "supplier")
     li_o = li.join(
-        F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        orders.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     ).select(
         "l_orderkey",
@@ -1873,7 +1880,7 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     ).select("l_orderkey", "l_suppkey")
     return (
-        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

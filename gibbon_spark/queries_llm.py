@@ -636,7 +636,7 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.quality_score("text") + F.lit(1e-9), 6).alias("quality_score"),
     )
     kept = scored.filter(F.col("quality_score") >= 0.5).join(
-        F.broadcast(losers), "doc_id", "left_anti"
+        losers, "doc_id", "left_anti"
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
