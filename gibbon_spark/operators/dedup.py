@@ -267,16 +267,28 @@ def _hexval_sql(char_expr: str) -> str:
     )
 
 
-def simhash_bit_terms(hash_expr: str = "md5(token)", bits: int = SIMHASH_BITS) -> list[str]:
-    """SQL sum-terms (one per bit, MSB first), each counting +1/-1 per
-    token by the corresponding bit of the token hash's leading hex chars.
-    The strings are dialect-portable (ascii/substr/CASE/&) so the exact
-    same computation runs in Spark and in the DuckDB oracle.
+def simhash_nibble_cols(
+    hash_expr: str = "h", bits: int = SIMHASH_BITS
+) -> list[str]:
+    """SQL exprs (dialect-portable: substr/ascii/CASE) for the integer
+    value 0-15 of each leading hex char of the hash. Hoisted into a
+    projection ONCE per row so the per-bit vote terms below are plain
+    integer ops — inlining the char decode into all 32 aggregate terms
+    would re-evaluate substr+ascii 32× per row (common-subexpression
+    elimination does not span separate aggregate expressions)."""
+    return [
+        _hexval_sql(f"substr({hash_expr}, {i + 1}, 1)")
+        for i in range(bits // 4)
+    ]
 
-    Pass a PRE-MATERIALIZED hash column name as ``hash_expr`` — an
-    inline ``md5(token)`` would be re-evaluated once per bit term (32
-    md5 calls per row; common-subexpression elimination does not span
-    separate aggregate expressions).
+
+def simhash_bit_terms(
+    nibble_prefix: str = "n", bits: int = SIMHASH_BITS
+) -> list[str]:
+    """SQL sum-terms (one per bit, MSB first), each counting +1/-1 per
+    token by the corresponding bit of the pre-projected nibble columns
+    (``{prefix}0`` … — see :func:`simhash_nibble_cols`). Identical
+    strings run in Spark and in the DuckDB oracle.
 
     32 bits over shingles (not raw tokens): shingle sets separate
     non-duplicate docs far better than token sets, and 32 bits keeps
@@ -284,10 +296,8 @@ def simhash_bit_terms(hash_expr: str = "md5(token)", bits: int = SIMHASH_BITS) -
     combine still fits comfortably in a signed 64-bit int."""
     terms = []
     for bit in range(bits):
-        nibble_idx = bit // 4 + 1  # 1-indexed hex char
         mask = 8 >> (bit % 4)
-        nib = f"substr({hash_expr}, {nibble_idx}, 1)"
-        v = _hexval_sql(nib)
+        v = f"{nibble_prefix}{bit // 4}"
         terms.append(f"sum(CASE WHEN ({v} & {mask}) <> 0 THEN 1 ELSE -1 END)")
     return terms
 
@@ -313,9 +323,15 @@ def simhash(
     tok = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).select(
         "id", F.md5("shingle").alias("h")
     )
-    terms = simhash_bit_terms("h")
-    agg = tok.groupBy("id").agg(
-        *[F.expr(t).alias(f"b{i}") for i, t in enumerate(terms)]
+    nibs = tok.select(
+        "id",
+        *[
+            F.expr(e).alias(f"n{i}")
+            for i, e in enumerate(simhash_nibble_cols("h"))
+        ],
+    )
+    agg = nibs.groupBy("id").agg(
+        *[F.expr(t).alias(f"b{i}") for i, t in enumerate(simhash_bit_terms())]
     )
     combine = simhash_combine_sql([f"b{i}" for i in range(SIMHASH_BITS)])
     return agg.select("id", F.expr(combine).cast("long").alias("simhash"))

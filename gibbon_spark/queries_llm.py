@@ -309,7 +309,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
-    terms = dedup.simhash_bit_terms("h")
+    nib_cols = ", ".join(
+        f"{e} AS n{i}" for i, e in enumerate(dedup.simhash_nibble_cols("h"))
+    )
+    terms = dedup.simhash_bit_terms()
     term_cols = ", ".join(f"{t} AS b{i}" for i, t in enumerate(terms))
     combine = dedup.simhash_combine_sql([f"b{i}" for i in range(dedup.SIMHASH_BITS)])
     bpc = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
@@ -328,7 +331,8 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
                  i -> array_to_string(t[i:i+2], ' '))))) AS h
       FROM d
     ),
-    votes AS (SELECT id, {term_cols} FROM tok GROUP BY id),
+    nib AS (SELECT id, {nib_cols} FROM tok),
+    votes AS (SELECT id, {term_cols} FROM nib GROUP BY id),
     sh AS (SELECT id, {combine} AS simhash FROM votes),
     chunks AS ({chunk_rows}),
     cand AS (
