@@ -1868,13 +1868,17 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one pass over the fact join: when exactly one supplier is late,
     # max(case when late then suppkey) IS that supplier — no second
-    # lineitem scan for the candidate rows
-    per_order = li_o.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("l_suppkey"),
+    # lineitem scan for the candidate rows. The two count(DISTINCT)s
+    # would expand every row 3x; pre-reducing to one row per (order,
+    # supplier) makes the per-order aggregate expand-free, and the
+    # second shuffle is a prefix of the first key so AQE keeps it local.
+    per_supp = li_o.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("l_suppkey"),
     )
     waiting = per_order.filter(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
