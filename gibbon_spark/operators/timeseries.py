@@ -389,6 +389,53 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_side")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str = "ts",
+    start: str = "w_start",
+    end: str = "w_end",
+    bucket: str = "15 minutes",
+) -> DataFrame:
+    """Point-in-interval join with NO equi key, bucketized into an equi-join.
+
+    The naive plan for ``p.ts >= i.start AND p.ts < i.end`` (no equality
+    conjunct) is a broadcast-nested-loop or cartesian product — O(P×I)
+    work that dies at scale. Instead both sides are mapped onto
+    fixed-width time buckets: each interval is replicated into every
+    bucket it overlaps (``sequence``+``explode``, fully distributed),
+    each point lands in exactly one, and the join becomes an equi-join
+    on bucket id plus the exact containment filter. Because a point's
+    bucket is unique, an (interval, point) pair can only meet in that
+    one bucket — no post-join dedup needed. The join shuffles both
+    sides on bucket id, so it scales like any hash join; pick
+    ``bucket`` at least the typical interval length so each interval
+    replicates into O(1) buckets.
+
+    ``start`` is inclusive, ``end`` exclusive. Intervals with
+    ``end <= start`` are dropped (they can match nothing, and an empty
+    ``sequence`` bound would otherwise run backwards).
+    """
+    width_us = _step_seconds(bucket) * 1_000_000
+    iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start)) / width_us),
+                F.floor((F.unix_micros(F.col(end)) - 1) / width_us),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_rj_bucket", F.floor(F.unix_micros(F.col(ts)) / width_us)
+    )
+    joined = pt.join(iv, on="_rj_bucket").filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_rj_bucket")
+
+
 # ---------------------------------------------------------------------------
 # Top-k
 # ---------------------------------------------------------------------------

@@ -497,6 +497,49 @@ def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_range_join",
+    """
+    WITH spikes AS (
+      SELECT event_id AS spike_id, ts AS w_start,
+             ts + INTERVAL 15 MINUTE AS w_end
+      FROM events WHERE value > 200
+    )
+    SELECT s.spike_id, s.w_start,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           round(avg(e.value), 6) AS avg_value
+    FROM spikes s JOIN events e
+      ON e.ts >= s.w_start AND e.ts < s.w_end
+    GROUP BY s.spike_id, s.w_start
+    ORDER BY s.spike_id
+    """,
+)
+def q_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): every value spike opens a 15-minute
+    window; count the events of ALL users that fall inside each window.
+    Bucketized into an equi-join on time-bucket id
+    (operators.timeseries.range_join) — the naive inequality-only join
+    would plan as a broadcast-nested-loop and do O(P×I) work at 100 TB."""
+    (events,) = _prep(spark, sf_dir, "events")
+    spikes = events.filter(F.col("value") > 200).select(
+        F.col("event_id").alias("spike_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    pts = events.select("user_id", "ts", "value")
+    joined = ts_ops.range_join(pts, spikes, bucket="15 minutes")
+    return (
+        joined.groupBy("spike_id", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("spike_id")
+    )
+
+
+@query(
     "ts_gap_fill",
     """
     WITH b AS (

@@ -61,3 +61,21 @@ def test_window_delta_5m(spark, big):
     assert abs(row.a - 60.0) < 1.0
     elapsed = time.time() - t0
     assert elapsed < 120, f"5M-row window took {elapsed:.0f}s"
+
+
+def test_range_join_5m(spark, big):
+    """Bucketized range join at 5M points x 500 intervals: must stay an
+    equi-join (no BNLJ explosion) and finish in bounded time."""
+    from gibbon_spark.operators.timeseries import range_join
+
+    iv = spark.range(500).select(
+        F.col("id").alias("iv_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 600).alias("w_start"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 600 + 600).alias("w_end"),
+    )
+    t0 = time.time()
+    out = range_join(big, iv, bucket="10 minutes")
+    n = out.groupBy("iv_id").count().count()
+    elapsed = time.time() - t0
+    assert n == 500
+    assert elapsed < 90, f"5M-row range join took {elapsed:.0f}s"

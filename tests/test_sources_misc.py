@@ -52,3 +52,18 @@ def test_sql_udf_registry(spark):
     assert got[1.0] == 0x3FF0000000000000
     assert got[0.0] == 0
     assert got[-2.0] == -(2**63) + 0x4000000000000000  # sign bit + exponent
+
+
+def test_orc_sink_and_source_roundtrip(spark):
+    """ORC is the other columnar format Spark ships natively; round-trip
+    a frame and check predicate pushdown reaches the ORC scan."""
+    d = tempfile.mkdtemp(prefix="gibbon_orc_")
+    path = os.path.join(d, "t.orc")
+    spark.createDataFrame(
+        [(i, float(i) * 1.5, f"s{i % 3}") for i in range(100)],
+        "id long, value double, tag string",
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("id") >= 90)
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90)]" in plan

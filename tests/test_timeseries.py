@@ -163,3 +163,50 @@ def test_gap_fill_non_unit_step(spark):
     )
     assert [r.filled_value for r in out] == [1.0, 7.0, 7.0, 9.0]
     assert out[1].grid_ts == _ts(1800)
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketized point-in-interval)
+# ---------------------------------------------------------------------------
+
+
+def _rj_frames(spark):
+    # intervals: [60, 180) spans two 60s buckets; [200, 200) is empty;
+    # [0, 400) spans many buckets (longer than the bucket width).
+    iv = spark.createDataFrame(
+        [
+            ("a", _ts(60), _ts(180)),
+            ("empty", _ts(200), _ts(200)),
+            ("wide", _ts(0), _ts(400)),
+        ],
+        "iv_id string, w_start timestamp, w_end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(i, _ts(t)) for i, t in enumerate([0, 59, 60, 179, 180, 200, 399, 400])],
+        "pt_id int, ts timestamp",
+    )
+    return pts, iv
+
+
+def test_range_join_boundaries(spark):
+    from gibbon_spark.operators.timeseries import range_join
+
+    pts, iv = _rj_frames(spark)
+    out = range_join(pts, iv, bucket="1 minute")
+    got = sorted((r.iv_id, r.pt_id) for r in out.collect())
+    # start inclusive, end exclusive; empty interval matches nothing;
+    # no duplicate pairs even when an interval spans many buckets.
+    assert got == sorted(
+        [("a", 2), ("a", 3)]
+        + [("wide", i) for i in range(7)]  # ts 0..399, not 400
+    )
+    assert len(got) == len(set(got))
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from gibbon_spark.operators.timeseries import range_join
+
+    pts, iv = _rj_frames(spark)
+    plan = range_join(pts, iv, bucket="1 minute")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
