@@ -2046,3 +2046,40 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.join(F.broadcast(thr), pv.part_value > F.col("thr")).select(
         "l_partkey", "part_value"
     )
+
+
+@query(
+    "ts_rollup_hypertable",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           time_bucket(INTERVAL '2 hours', ts) AS bucket_2h,
+           count(*) AS n_samples,
+           round(avg(value), 6) AS avg_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY ROLLUP (day, bucket_2h)
+    ORDER BY day, bucket_2h
+    """,
+)
+def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 2-hour chunks rolled up
+    into days and a grand total in ONE pass (GROUP BY ROLLUP). Spark's
+    Expand + partial aggregation computes all three levels map-side
+    before the single shuffle — the day level reuses the chunk partials
+    rather than re-scanning, which is the continuous-aggregate trick at
+    100 TB."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.window("ts", "2 hours").start.alias("bucket_2h"),
+            "value",
+        )
+        .rollup("day", "bucket_2h")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("day", "bucket_2h")
+    )

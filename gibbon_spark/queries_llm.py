@@ -805,3 +805,52 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     media = mm.documents_as_mixed_media(docs)
     return mm.sample_video_frames(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Reproducible sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_split_hash",
+    """
+    WITH h AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM s GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def q_sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5(doc_id) -> bucket 0-99 ->
+    80/10/10. Hash-mod sampling is the reproducible, cluster-stable way
+    to split a 100 TB corpus — no RNG state, no shuffle, membership of a
+    doc never changes as the corpus grows, and any engine (here: the
+    DuckDB oracle) replays it bit-for-bit. Map-side expression, one
+    shuffle for the count rollup."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )

@@ -164,3 +164,53 @@ def test_streaming_dedup_drops_repeats(spark):
     q.awaitTermination(120)
     assert sorted(r.ts.timestamp() for r in collected) == [100.0, 200.0, 300.0]
     shutil.rmtree(d)
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream inner join: purchase matches clicks by
+    the same user within the 10 minutes before it; state is bounded by
+    the range conjunct + watermarks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gibbon_spark.streaming.joins import stream_interval_join
+
+    d = tempfile.mkdtemp(prefix="gibbon_ssj_")
+    clicks_dir = os.path.join(d, "clicks")
+    purch_dir = os.path.join(d, "purchases")
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+    # epoch-second events; user 1: click 800 -> purchase 1000 (match),
+    # click 100 too early (no match); user 2: click 950 AFTER purchase
+    # 900 (no match); user 3: purchase with no clicks at all.
+    with open(os.path.join(clicks_dir, "c.csv"), "w") as f:
+        f.write("1,100\n1,800\n2,950\n")
+    with open(os.path.join(purch_dir, "p.csv"), "w") as f:
+        f.write("1,1000\n2,900\n3,900\n")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("sec", T.LongType())]
+    )
+
+    def src(path):
+        return (
+            spark.readStream.schema(schema)
+            .csv(path)
+            .select("user_id", F.timestamp_seconds("sec").alias("ts"))
+        )
+
+    joined = stream_interval_join(
+        src(purch_dir), src(clicks_dir), ["user_id"], within="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.ts.timestamp(), r.ts_right.timestamp())
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    ]
+    assert sorted(got) == [(1, 1000.0, 800.0)]
