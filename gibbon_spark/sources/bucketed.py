@@ -60,6 +60,39 @@ def write_bucketed(
     )
 
 
+def compact_bucketed(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    series_buckets: int = 8,
+) -> None:
+    """Rewrite a bucketed store with the batch writer's file discipline.
+
+    A long-running streaming sink appends one file per (micro-batch,
+    partition) — thousands of small files per bucket after a day, which
+    kills scan throughput (file-open overhead, tiny row groups, no
+    useful min/max stats). Compaction re-reads the store, repartitions
+    back to ``series_buckets`` files per time bucket, and sorts rows by
+    (series, ts) *within* each file so parquet row-group stats become
+    tight and per-series window scans read sequentially.
+
+    Writes to ``out_path`` (atomically swappable by the caller) rather
+    than in place — Spark cannot safely overwrite a path it is reading.
+    """
+    df = spark.read.parquet(path)
+    (
+        df.repartition(
+            F.col("bucket"),
+            (F.abs(F.hash("series_id")) % series_buckets).alias("sb"),
+        )
+        .sortWithinPartitions("series_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+
+
 def read_bucketed(
     spark: SparkSession,
     path: str,

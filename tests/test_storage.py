@@ -73,3 +73,28 @@ def test_compression_beats_raw(spark, store):
     assert stats["ratio_pct"] == round(
         100.0 * stats["compressed_bytes"] / stats["raw_bytes"], 2
     )
+
+
+def test_compact_bucketed_restores_file_discipline(spark, store):
+    """Fragment the store (many files per bucket, as a streaming sink
+    would leave it), compact, and check file counts shrink back while
+    contents are preserved exactly."""
+    d = tempfile.mkdtemp(prefix="gibbon_compact_")
+    frag, out = os.path.join(d, "frag"), os.path.join(d, "compacted")
+    spark.read.parquet(store).repartition(64).write.partitionBy("bucket").parquet(frag)
+
+    def files_per_bucket(path):
+        counts = []
+        for b in os.listdir(path):
+            if b.startswith("bucket="):
+                counts.append(
+                    len([f for f in os.listdir(os.path.join(path, b)) if f.endswith(".parquet")])
+                )
+        return counts
+
+    assert max(files_per_bucket(frag)) > 4  # genuinely fragmented
+    bucketed.compact_bucketed(spark, frag, out, series_buckets=2)
+    assert max(files_per_bucket(out)) <= 2
+    a = {tuple(r) for r in spark.read.parquet(frag).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert a == b

@@ -210,3 +210,37 @@ def test_range_join_plan_is_equi_join(spark):
     plan = range_join(pts, iv, bucket="1 minute")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_property_vs_bruteforce(spark):
+    """Randomized (seeded) intervals/points: bucketized join must equal
+    the brute-force O(P*I) containment for several bucket widths,
+    including widths smaller and larger than the intervals."""
+    import random
+
+    from gibbon_spark.operators.timeseries import range_join
+
+    rng = random.Random(20260813)
+    pts_raw = [(i, rng.randrange(0, 5000)) for i in range(120)]
+    iv_raw = []
+    for j in range(40):
+        s = rng.randrange(0, 5000)
+        ln = rng.choice([0, 1, 30, 90, 250, 900])  # includes empty
+        iv_raw.append((j, s, s + ln))
+    expect = sorted(
+        (j, i)
+        for j, s, e_ in iv_raw
+        for i, t in pts_raw
+        if s <= t < e_
+    )
+    pts = spark.createDataFrame(
+        [(i, _ts(t)) for i, t in pts_raw], "pt_id int, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(j, _ts(s), _ts(e_)) for j, s, e_ in iv_raw],
+        "iv_id int, w_start timestamp, w_end timestamp",
+    )
+    for width in ["1 minute", "5 minutes", "1 hour"]:
+        out = range_join(pts, iv, bucket=width)
+        got = sorted((r.iv_id, r.pt_id) for r in out.collect())
+        assert got == expect, f"bucket={width}"
