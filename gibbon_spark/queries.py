@@ -2083,3 +2083,76 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "bucket_2h")
     )
+
+
+@query(
+    "ts_downsample_m4",
+    """
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+             ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY value, event_id) AS rn_min,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY value DESC, event_id) AS rn_max
+      FROM events
+    )
+    SELECT user_id, bucket, role, ts, value, event_id
+    FROM b, LATERAL (
+      SELECT unnest(list_filter(
+        [CASE WHEN rn_first = 1 THEN 'first' END,
+         CASE WHEN rn_last  = 1 THEN 'last'  END,
+         CASE WHEN rn_min   = 1 THEN 'min'   END,
+         CASE WHEN rn_max   = 1 THEN 'max'   END],
+        x -> x IS NOT NULL)) AS role
+    )
+    ORDER BY user_id, bucket, role, event_id
+    """,
+)
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (the standard error-free line-chart reduction:
+    first/last/min/max point per pixel bucket). One shuffle on
+    (series, bucket); the four orderings are sorts within the same
+    exchange. Ties broken by event_id so the selected points are
+    deterministic — which is what makes this oracle-exact where a bare
+    min_by/arg_min would flake."""
+    (events,) = _prep(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        F.window("ts", "6 hours").start.alias("bucket"),
+        "ts", "value", "event_id",
+    )
+    part = Window.partitionBy("user_id", "bucket")
+    roles = b.withColumns(
+        {
+            "rn_first": F.row_number().over(part.orderBy("ts", "event_id")),
+            "rn_last": F.row_number().over(
+                part.orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+            "rn_min": F.row_number().over(part.orderBy("value", "event_id")),
+            "rn_max": F.row_number().over(
+                part.orderBy(F.desc("value"), F.asc("event_id"))
+            ),
+        }
+    )
+    tagged = roles.withColumn(
+        "role",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(F.col("rn_first") == 1, "first"),
+                    F.when(F.col("rn_last") == 1, "last"),
+                    F.when(F.col("rn_min") == 1, "min"),
+                    F.when(F.col("rn_max") == 1, "max"),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    )
+    return tagged.select(
+        "user_id", "bucket", "role", "ts", "value", "event_id"
+    ).orderBy("user_id", "bucket", "role", "event_id")

@@ -93,6 +93,35 @@ def compact_bucketed(
     )
 
 
+def expire_buckets(path: str, older_than) -> list[str]:
+    """Retention: drop whole bucket partition directories older than the
+    cutoff (Gorilla keeps a bounded in-memory horizon — ``README.md:1-3``
+    paper context; here retention is a metadata-only delete of pruned
+    partitions, no data rewrite). Returns the removed bucket values.
+
+    Driver-side directory surgery is correct here because partitions ARE
+    the retention unit; nothing scans or shuffles.
+    """
+    import shutil
+    from datetime import datetime
+    from urllib.parse import unquote
+
+    cutoff = (
+        datetime.fromisoformat(older_than)
+        if isinstance(older_than, str)
+        else older_than
+    )
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("bucket="):
+            continue
+        val = unquote(d.split("=", 1)[1])
+        if datetime.fromisoformat(val) < cutoff:
+            shutil.rmtree(os.path.join(path, d))
+            removed.append(val)
+    return removed
+
+
 def read_bucketed(
     spark: SparkSession,
     path: str,
