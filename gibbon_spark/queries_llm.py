@@ -854,3 +854,44 @@ def q_sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "sketch_count_min",
+    """
+    SELECT r.row_id,
+           ('0x' || substr(md5(r.row_id || ':' || CAST(user_id AS VARCHAR)), 1, 4))::INTEGER
+             % 256 AS bucket,
+           count(*) AS cnt
+    FROM events, (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS row_id) r
+    GROUP BY r.row_id, bucket
+    ORDER BY r.row_id, bucket
+    """,
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the user_id stream: 4 hash rows x 256
+    buckets, row hashes salted with the row id. The sketch is built as
+    an ordinary aggregation, so partial sketches combine map-side and
+    MERGE across partitions/days for free — the point of CMS at 100 TB
+    (point-query an id's frequency upper bound = min over its 4 cells).
+    md5-salted bucketing makes it bit-identical in any engine, hence
+    oracle-exact — unlike approx_count_distinct's opaque HLL registers."""
+    (events,) = _prep(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(str(i)) for i in range(4)])).alias("row_id")
+    cells = events.select("user_id", rows).select(
+        "row_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "row_id", F.col("user_id").cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("int") % 256
+        ).alias("bucket"),
+    )
+    return (
+        cells.groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("row_id", "bucket")
+    )

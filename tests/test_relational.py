@@ -53,3 +53,38 @@ def test_q5_broadcasts_dims(spark):
     df = entrymod.queries()["q5_region_revenue"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_count_min_sketch_upper_bound(spark):
+    """CMS guarantee: for any key, min over its 4 cells >= true count."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    sketch = {
+        (r.row_id, r.bucket): r.cnt
+        for r in entrymod.queries()["sketch_count_min"](spark, SF_SMALL).collect()
+    }
+    events = load_table(spark, SF_SMALL, "events")
+    truth = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).limit(20).collect()
+    }
+    probe = events.select(F.col("user_id").cast("string").alias("uid")).distinct().limit(20)
+    cells = probe.select(
+        "uid",
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), "uid")), 1, 4),
+                    16, 10,
+                ).cast("int") % 256
+            ).alias(f"b{i}")
+            for i in range(4)
+        ],
+    ).collect()
+    for r in cells:
+        est = min(sketch.get((str(i), r[f"b{i}"]), 0) for i in range(4))
+        assert est >= truth.get(int(r.uid), 0)
