@@ -392,3 +392,84 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup cluster formation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    ``(node, component)`` where component = min node id reachable.
+
+    LSH emits pairwise candidates, but dedup needs *clusters* — A~B and
+    B~C must put A,B,C in one group even though (A,C) was never emitted.
+    Each round: every node takes the min of its own label and its
+    neighbors' labels (one join + one min-aggregate, both shuffles on
+    node id); converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow (diameter ≤ ~3), so this is 3-4 rounds, NOT
+    O(n). ``localCheckpoint`` truncates the growing lineage each round
+    (the standard guard against plan-explosion in iterative DataFrame
+    algorithms). Stops early at a fixpoint: when no label changed.
+    """
+    # persist the edge input FIRST: sym reads it twice (both directions),
+    # and without the cache the upstream plan (e.g. the whole MinHash-LSH
+    # pipeline) would execute twice.
+    edges = edges.select(id_a, id_b).persist()
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # Size the loop's shuffles from the materialized edge table, not the
+    # session's spark.sql.shuffle.partitions: the label state is O(nodes
+    # in the pair graph), so a vanilla 200-partition session would
+    # schedule 200-task stages per round for what is usually a tiny
+    # frame, and localCheckpoint pins partitioning before AQE can
+    # coalesce. sym's partition count is already data-proportional
+    # (AQE sized it when the cache materialized).
+    spark = edges.sparkSession
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(sym.rdd.getNumPartitions(), 1)))
+    try:
+        labels = _cc_loop(sym, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    sym.unpersist()
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

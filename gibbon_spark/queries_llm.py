@@ -895,3 +895,46 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("row_id", "bucket")
     )
+
+
+def _cc_oracle_sql() -> str:
+    """Transitive closure of the MinHash-LSH pair graph in DuckDB via a
+    recursive CTE — generated from the SAME pair SQL as dedup_minhash_lsh
+    so the edge set cannot drift from the Spark side."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_oracle_sql()}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node
+      WHERE walk.label < e.b
+    ),
+    lab AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+    SELECT component, count(*) AS n_members, max(node) AS max_member
+    FROM lab GROUP BY component ORDER BY component
+    """
+
+
+@query("dedup_clusters_cc", _cc_oracle_sql())
+def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    MinHash-LSH candidate graph (min-label propagation, converges in
+    O(cluster diameter) rounds — see operators.dedup.connected_components).
+    The iterative Spark algorithm is checked against a recursive-CTE
+    transitive closure in DuckDB over the identical md5-deterministic
+    edge set."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("component")
+    )

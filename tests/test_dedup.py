@@ -75,3 +75,18 @@ def test_minhash_estimates_jaccard(spark):
     rows = {r.id: [r[f"sig_{i}"] for i in range(12)] for r in sigs.collect()}
     matches = sum(a == b for a, b in zip(rows[0], rows[1]))
     assert matches >= 7  # docs 0/1: high but not full overlap (case-sensitive shingles)
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, C~D chain collapses to one component labeled by the min
+    id; disjoint pair stays separate; convergence needs > 1 round
+    (diameter 3)."""
+    from gibbon_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
