@@ -175,19 +175,13 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, *, num_hashes: int = 12, bands: int = 4
-) -> DataFrame:
-    """Band the signature (bands × rows_per_band = num_hashes); docs
-    sharing any full band become candidates. est_sim = fraction of equal
-    signature components (the unbiased Jaccard estimate).
-
-    Shuffle profile at scale: each doc emits `bands` rows keyed by
-    (band_idx, band_hash); join meets only same-bucket docs. No O(n²)."""
+def _banded(sigs: DataFrame, *, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, key) rows: each doc emits `bands` rows keyed by
+    (band_idx, md5-of-band-slice) — the LSH bucket key."""
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
-    banded = sigs.select(
+    return sigs.select(
         F.col("id"),
         sig_arr.alias("sig"),
         F.explode(
@@ -206,6 +200,29 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _est_jaccard(num_hashes: int) -> Column:
+    """Fraction of equal signature components between sig_a and sig_b
+    (the unbiased Jaccard estimate)."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, *, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_hashes); docs
+    sharing any full band become candidates. est_sim = fraction of equal
+    signature components (the unbiased Jaccard estimate).
+
+    Shuffle profile at scale: each doc emits `bands` rows keyed by
+    (band_idx, band_hash); join meets only same-bucket docs. No O(n²)."""
+    banded = _banded(sigs, num_hashes=num_hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -222,14 +239,43 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(num_hashes))
     return pairs.select(
-        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+        "id_a", "id_b", F.round(_est_jaccard(num_hashes), 6).alias("est_jaccard")
+    )
+
+
+def lsh_candidate_pairs_cross(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates BETWEEN two signature sets — the incremental-dedup
+    join: ``sigs_a`` is the incoming batch, ``sigs_b`` the standing
+    corpus index. Asymmetric on purpose (no ``id <`` constraint, no
+    within-set pairs): every (incoming, index) bucket collision is a
+    candidate, so an incoming doc is flagged even when its twin has a
+    smaller id. At scale the incoming side is a day's crawl and the
+    index side a pre-computed signature table — the band join touches
+    only colliding buckets; the full corpus text is never re-shingled."""
+    a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).alias("a")
+    b = _banded(sigs_b, num_hashes=num_hashes, bands=bands).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(_est_jaccard(num_hashes), 6).alias("est_jaccard")
     )
 
 

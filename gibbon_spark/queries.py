@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gibbon_spark.operators import layout
 from gibbon_spark.operators import timeseries as ts_ops
 from gibbon_spark.sources.tables import load_table
 
@@ -2156,3 +2157,208 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select(
         "user_id", "bucket", "role", "ts", "value", "event_id"
     ).orderBy("user_id", "bucket", "role", "event_id")
+
+
+# =========================================================================
+# Grouping sets & multi-dimensional layout (SURVEY.md §2.2 aggregations;
+# scale: z-order data skipping, the multi-column generalization of the
+# reference's 2-h header-time block addressing)
+# =========================================================================
+
+
+@query(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           {money_sum_sql("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — ((status), (priority), ()) is
+    expressible by neither ROLLUP nor CUBE (no (status, priority) cell).
+    Spark expands the sets into one Expand + single hash aggregate: one
+    shuffle regardless of how many sets, which is why grouping sets beat
+    N separate groupBy+union jobs at 100 TB. gid = grouping-flag bitmask
+    distinguishes the all-NULL total row from NULL-valued keys."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
+        "long"
+    )
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+_ZORDER_DIMS_SQL = ["l_partkey % 256", "l_suppkey % 256"]
+
+
+@query(
+    "zorder_cluster_stats",
+    f"""
+    WITH z AS (
+      SELECT {layout.zorder_key_sql(_ZORDER_DIMS_SQL, bits=8)} AS zkey,
+             l_partkey % 256 AS px, l_suppkey % 256 AS sx
+      FROM lineitem
+    )
+    SELECT zkey >> 10 AS zbucket, count(*) AS n,
+           min(px) AS px_min, max(px) AS px_max,
+           min(sx) AS sx_min, max(sx) AS sx_max
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+)
+def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering quality: interleave 8 bits each of
+    two join keys, cut the key space into 64 buckets, and show that each
+    bucket spans ≤ 1/8 of BOTH key domains — the locality that lets
+    parquet min/max stats prune multi-column predicates after
+    :func:`operators.layout.cluster_by_zorder` writes the table in zkey
+    order. The key is pure codegen bit math (no UDF); the oracle runs
+    the identical arithmetic generated from the same helper."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    px = (F.col("l_partkey") % 256).alias("px")
+    sx = (F.col("l_suppkey") % 256).alias("sx")
+    z = li.select(
+        layout.zorder_key([F.col("l_partkey") % 256, F.col("l_suppkey") % 256],
+                          bits=8).alias("zkey"),
+        px,
+        sx,
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# =========================================================================
+# Event analytics (funnel / cohort — the product-analytics shapes a
+# training-data/event pipeline runs over the `events` stream)
+# =========================================================================
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           1 + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage is the
+    earliest qualifying event strictly after the previous stage's
+    timestamp. Three filtered min-aggregates chained by equi-joins on
+    user_id — every shuffle is on the same key, so at 100 TB the
+    exchanges reuse one hash partitioning (no re-shuffle between
+    stages; AQE coalesces the per-stage sizes independently)."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts", stage.alias("stage"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS event_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.event_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = week of a user's first
+    event; count distinct users active in each subsequent week. The
+    (user, week) distinct pass pre-shrinks the join input so the
+    count-distinct aggregates rows ≈ users × active-weeks, not raw
+    events — the difference between feasible and not at 100 TB."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("event_week")
+    ).distinct()
+    j = a.join(f, "user_id").select(
+        "cohort_week",
+        (F.datediff("event_week", "cohort_week") / 7).cast("long").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -938,3 +938,289 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "text_repetition_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    d1 AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(c) AS top_cnt
+      FROM tc GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS bigram
+      FROM d
+    ),
+    d2 AS (SELECT doc_id, count(*) AS n_bi_distinct FROM bi GROUP BY doc_id)
+    SELECT d1.doc_id, n_tokens,
+           round(n_distinct / n_tokens + 1e-9, 6) AS distinct_ratio,
+           round(top_cnt / n_tokens + 1e-9, 6) AS top_token_ratio,
+           round(1.0 - n_bi_distinct / greatest(n_tokens - 1, 1) + 1e-9, 6)
+             AS dup_bigram_ratio
+    FROM d1 JOIN d2 ON d1.doc_id = d2.doc_id
+    """,
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type/token
+    (distinct) ratio, most-frequent-token mass, and duplicate-bigram
+    fraction — the filters that catch boilerplate and degenerate pages
+    in a pretraining corpus. Token counts are one explode + two
+    hash aggregates; bigrams reuse the codegen window shingle_table
+    (n=2) rather than the interpreted higher-order-function path. All
+    ratios carry the +1e-9 half-boundary nudge on both sides."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d1 = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    d2 = (
+        dedup.shingle_table(docs, n=2)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_bi_distinct"))
+    )
+    return d1.join(d2, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens") + 1e-9, 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_cnt") / F.col("n_tokens") + 1e-9, 6).alias(
+            "top_token_ratio"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_bi_distinct") / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def _incremental_oracle_sql(
+    num_hashes: int = 12, bands: int = 4, min_est: float = 0.5
+) -> str:
+    """Oracle for incremental dedup: the same md5 MinHash/band pipeline
+    as _minhash_oracle_sql, restricted to (incoming × index) pairs by
+    the deterministic doc_id hash split, plus the exact content-hash
+    membership check. Generated from the same parameters as the Spark
+    side so the two cannot drift."""
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * r + j}" for j in range(r)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , split AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10 AS b
+      FROM documents
+    ),
+    sigs AS (SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS (SELECT id, {band_keys} FROM sigs),
+    bl AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bl a JOIN bl b ON a.band = b.band AND a.key = b.key
+      JOIN split pa ON a.id = pa.doc_id
+      JOIN split pb ON b.id = pb.doc_id
+      WHERE pa.b >= 8 AND pb.b < 8
+    ),
+    near AS (
+      SELECT id_a AS doc_id, count(*) AS n_near
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.id
+      JOIN sigs sb ON c.id_b = sb.id
+      WHERE round(({eq_sum}) / {num_hashes}.0, 6) >= {min_est}
+      GROUP BY 1
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    ),
+    ixh AS (
+      SELECT DISTINCT content_hash FROM ch JOIN split USING (doc_id) WHERE b < 8
+    ),
+    inc AS (
+      SELECT ch.doc_id, content_hash FROM ch JOIN split USING (doc_id) WHERE b >= 8
+    )
+    SELECT inc.doc_id,
+           CASE WHEN ixh.content_hash IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+           coalesce(n.n_near, 0) AS n_near,
+           CASE WHEN ixh.content_hash IS NOT NULL THEN 'exact'
+                WHEN coalesce(n.n_near, 0) > 0 THEN 'near'
+                ELSE 'new' END AS verdict
+    FROM inc
+    LEFT JOIN ixh ON inc.content_hash = ixh.content_hash
+    LEFT JOIN near n ON inc.doc_id = n.doc_id
+    ORDER BY inc.doc_id
+    """
+    )
+
+
+@query("dedup_incremental", _incremental_oracle_sql())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against a standing corpus
+    index — the production shape: you never re-dedup 100 TB, you dedup
+    today's crawl against yesterday's signature index. The deterministic
+    md5(doc_id)-mod-10 split (8:2) stands in for index/incoming. Each
+    incoming doc is checked (a) exactly, by normalized content hash
+    against the index's hash set, and (b) near, by banded MinHash
+    collisions against index signatures only
+    (operators.dedup.lsh_candidate_pairs_cross — no within-batch or
+    within-index pairs). Verdict: exact > near > new."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 10
+    )
+    tagged = docs.withColumn("__b", bucket)
+    index = tagged.filter(F.col("__b") < 8)
+    incoming = tagged.filter(F.col("__b") >= 8)
+
+    content_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    ix_hashes = index.select(content_hash.alias("content_hash")).distinct()
+    inc = incoming.select("doc_id", content_hash.alias("content_hash"))
+
+    sigs_in = dedup.minhash_signatures(incoming)
+    sigs_ix = dedup.minhash_signatures(index)
+    near = (
+        dedup.lsh_candidate_pairs_cross(sigs_in, sigs_ix)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+    flagged = inc.join(
+        ix_hashes.withColumn("__hit", F.lit(1)), "content_hash", "left"
+    ).join(near, "doc_id", "left")
+    return flagged.select(
+        "doc_id",
+        F.when(F.col("__hit").isNotNull(), 1).otherwise(0).alias("exact_dup"),
+        F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+        F.when(F.col("__hit").isNotNull(), "exact")
+        .when(F.coalesce(F.col("n_near"), F.lit(0)) > 0, "near")
+        .otherwise("new")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def _topk_quality_oracle_sql() -> str:
+    """Built on the registered text_quality_score oracle so the score
+    definition cannot drift between the two queries."""
+    from gibbon_spark.queries import _ORACLES
+
+    return f"""
+    WITH q AS ({_ORACLES["text_quality_score"]})
+    SELECT lang, rank, doc_id, quality_score FROM (
+      SELECT d.lang,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY q.quality_score DESC, q.doc_id) AS rank,
+             q.doc_id, q.quality_score
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+    )
+    WHERE rank <= 5
+    ORDER BY lang, rank
+    """
+
+
+@query("topk_per_group_quality", _topk_quality_oracle_sql())
+def q_topk_per_group_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-5 docs per language by quality score):
+    the grouped variant of global top-k — rank window + filter. At
+    scale Spark's WindowGroupLimit pushes the k-limit into the shuffle
+    (partial top-k per map task), so the exchange carries ~k rows per
+    group per task, not the whole corpus. doc_id tiebreak keeps the
+    ranking total."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(tx.quality_score("text") + F.lit(1e-9), 6).alias("quality_score"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "quality_score")
+        .orderBy("lang", "rank")
+    )
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from gibbon_spark.queries import _ORACLES
+
+    return f"""
+    WITH q AS ({_ORACLES["text_quality_score"]}),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           count(CASE WHEN h.u < q.quality_score THEN 1 END) AS n_kept
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN h ON d.doc_id = h.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@query("sample_weighted_quality", _weighted_sample_oracle_sql())
+def q_sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep a doc with probability
+    = its quality score, decided by a deterministic per-doc uniform
+    u = md5(doc_id)[0:8] / 2^32 — no RNG state, reproducible at any
+    corpus size and replayable bit-for-bit by the oracle (the division
+    by 2^32 is exact in binary floating point). Pure map-side
+    expressions + one aggregate shuffle."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    score = F.round(tx.quality_score("text") + F.lit(1e-9), 6)
+    return (
+        docs.select("lang", (u < score).alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

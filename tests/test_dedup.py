@@ -90,3 +90,31 @@ def test_connected_components_transitive(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_lsh_cross_pairs_incoming_vs_index_only(spark):
+    """Cross-set candidates: near-identical docs across the two sets are
+    found regardless of id order; within-set twins are NOT paired."""
+    from gibbon_spark.operators.dedup import (
+        lsh_candidate_pairs_cross,
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    incoming = spark.createDataFrame(
+        [(100, base), (5, base + " extra"), (7, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated corpus entry nothing shared")],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs_cross(
+        minhash_signatures(incoming), minhash_signatures(index)
+    ).filter("est_jaccard >= 0.5")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # id_a always from incoming (even when its id is LARGER than the match),
+    # id_b always from index; the (1,2) within-index twin pair is absent.
+    assert (100, 1) in got and (100, 2) in got
+    assert all(a in (100, 5, 7) and b in (1, 2, 3) for a, b in got)
+    assert not any(a == 7 for a, _ in got)
