@@ -2362,3 +2362,87 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle_sql() -> str:
+    aggs = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}" for c in _PROFILE_COLS
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH s AS (SELECT count(*) AS n_rows, {aggs} FROM orders)
+    SELECT * FROM ({arms}) ORDER BY col_name
+    """
+
+
+@query("profile_orders", _profile_oracle_sql())
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiler: row count, null count, and exact
+    distinct count for every column of a table, unpivoted to one row
+    per column (stack). One job — Spark expands the multi-column
+    count-distinct into one Expand + aggregate rather than N scans.
+    At 100 TB swap count_distinct for approx_count_distinct (see
+    agg_approx_distinct) to drop the Expand multiplier; the Spark and
+    oracle sides are generated from the same column list."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    row = orders.agg(*aggs)
+    stack = "stack({n}, {args}) as (col_name, n_non_null, n_distinct)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS),
+    )
+    return (
+        row.select("n_rows", F.expr(stack))
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+            "n_distinct",
+        )
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "histogram_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram by floor-division bucketing — a
+    map-side expression + one aggregate shuffle; the shape scales to any
+    row count because cardinality is bounded by the bucket count."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -1224,3 +1224,40 @@ def q_sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.dim - 1 AS dim,
+             CAST(round(v[t.dim] + 1e-9, 6) AS DECIMAL(24,6)) AS val
+      FROM e, unnest(range(1, len(v) + 1)) AS t(dim)
+    )
+    SELECT label, dim, count(*) AS n,
+           round(CAST(sum(val) AS DOUBLE) / count(*) + 1e-9, 6) AS centroid
+    FROM ex GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (elementwise mean), long format —
+    the vector aggregate behind nearest-centroid classifiers and IVF
+    coarse quantizers. posexplode + hash aggregate: partial (map-side)
+    sums shrink the shuffle to classes × dims rows no matter the corpus
+    size. Per-row values are rounded to 6 dp and summed as DECIMAL so
+    the mean is independent of association order (same discipline as
+    money_sum), then replayed exactly by the oracle."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    ex = embs.select("label", F.posexplode("embedding").alias("dim", "v"))
+    val = F.round(F.col("v").cast("double") + 1e-9, 6).cast("decimal(24,6)")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(val).cast("double") / F.count(F.lit(1)) + 1e-9, 6
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
