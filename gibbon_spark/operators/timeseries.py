@@ -264,7 +264,7 @@ def _step_seconds(step: str) -> int:
     return int(parts[0]) * _STEP_UNITS[parts[1]]
 
 
-def gap_fill(
+def _slot_grid_join(
     df: DataFrame,
     series: Sequence[str],
     *,
@@ -272,15 +272,9 @@ def gap_fill(
     value: str = "value",
     step: str = "1 hour",
 ) -> DataFrame:
-    """Regular-grid gap fill with forward fill.
-
-    Per series: build the full grid between min(ts) and max(ts) with
-    ``sequence()`` + ``explode`` (no driver loop — the grid is generated
-    distributed, one row per series in, grid rows out), left-join the
-    observed points, then forward-fill with ``last(value, ignorenulls)``
-    over an unbounded-preceding window. Two shuffles (grid join + window)
-    both on the series key, so AQE can reuse the partitioning.
-    """
+    """Shared grid machinery for gap_fill / interpolate_linear: the full
+    per-series slot grid left-joined with the last observation of each
+    slot. Columns: *series, grid_ts, slot_value."""
     # Grid slots and observation snapping both floor to epoch-aligned
     # tumbling slots of ANY step width (same alignment as window(step)).
     # Plain epoch arithmetic because (a) Spark allows only one window()
@@ -322,7 +316,27 @@ def gap_fill(
         .filter(F.col("_rn") == 1)
         .select(*series, "grid_ts", F.col("_v").alias("slot_value"))
     )
-    joined = grid.join(slot_last, [*series, "grid_ts"], "left")
+    return grid.join(slot_last, [*series, "grid_ts"], "left")
+
+
+def gap_fill(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid gap fill with forward fill.
+
+    Per series: build the full grid between min(ts) and max(ts) with
+    ``sequence()`` + ``explode`` (no driver loop — the grid is generated
+    distributed, one row per series in, grid rows out), left-join the
+    observed points, then forward-fill with ``last(value, ignorenulls)``
+    over an unbounded-preceding window. Two shuffles (grid join + window)
+    both on the series key, so AQE can reuse the partitioning.
+    """
+    joined = _slot_grid_join(df, series, ts=ts, value=value, step=step)
     w_ffill = (
         Window.partitionBy(*series)
         .orderBy("grid_ts")
@@ -330,6 +344,59 @@ def gap_fill(
     )
     return joined.withColumn(
         "filled_value", F.last("slot_value", ignorenulls=True).over(w_ffill)
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    series: Sequence[str],
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid LINEAR interpolation — the sibling of
+    :func:`gap_fill` for signals where holding the last value flat is
+    wrong (counters, gauges between sparse scrapes). Empty slots get
+    ``v_prev + (v_next − v_prev) · Δt_frac`` from the bracketing
+    observed slots; observed slots pass through unchanged; a missing
+    bracket (before first / after last observation) falls back to the
+    one-sided neighbor.
+
+    Same shuffle profile as gap_fill: grid join + ONE window shuffle —
+    the backward (last/unbounded-preceding) and forward
+    (first/unbounded-following) frames share one partitioning and sort,
+    so Spark evaluates all four lookups in a single Window operator."""
+    joined = _slot_grid_join(df, series, ts=ts, value=value, step=step)
+    w_back = (
+        Window.partitionBy(*series)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*series)
+        .orderBy("grid_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("slot_value").isNotNull(), F.col("grid_ts"))
+    out = (
+        joined.withColumn("_vp", F.last("slot_value", ignorenulls=True).over(w_back))
+        .withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(w_back))
+        .withColumn("_vn", F.first("slot_value", ignorenulls=True).over(w_fwd))
+        .withColumn("_tn", F.first(obs_ts, ignorenulls=True).over(w_fwd))
+    )
+    frac = (
+        (F.unix_timestamp("grid_ts") - F.unix_timestamp("_tp")).cast("double")
+        / (F.unix_timestamp("_tn") - F.unix_timestamp("_tp")).cast("double")
+    )
+    interp = (
+        F.when(F.col("slot_value").isNotNull(), F.col("slot_value"))
+        .when(F.col("_vp").isNull(), F.col("_vn"))
+        .when(F.col("_vn").isNull(), F.col("_vp"))
+        .otherwise(F.col("_vp") + (F.col("_vn") - F.col("_vp")) * frac)
+    )
+    return out.withColumn("interp_value", interp).select(
+        *series, "grid_ts", "slot_value", "interp_value"
     )
 
 

@@ -2446,3 +2446,68 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS grid_ts
+      FROM b
+    ),
+    slot AS (
+      SELECT user_id, date_trunc('hour', ts) AS grid_ts, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC) AS rn
+      FROM events
+    ),
+    s1 AS (SELECT user_id, grid_ts, value AS slot_value FROM slot WHERE rn = 1),
+    j AS (
+      SELECT g.user_id, g.grid_ts, s1.slot_value
+      FROM grid g LEFT JOIN s1 USING (user_id, grid_ts)
+    ),
+    w AS (
+      SELECT user_id, grid_ts, slot_value,
+             last_value(slot_value IGNORE NULLS) OVER back AS vp,
+             last_value(CASE WHEN slot_value IS NOT NULL THEN grid_ts END
+                        IGNORE NULLS) OVER back AS tp,
+             first_value(slot_value IGNORE NULLS) OVER fwd AS vn,
+             first_value(CASE WHEN slot_value IS NOT NULL THEN grid_ts END
+                         IGNORE NULLS) OVER fwd AS tn
+      FROM j
+      WINDOW back AS (PARTITION BY user_id ORDER BY grid_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY user_id ORDER BY grid_ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, grid_ts,
+           round(CASE
+             WHEN slot_value IS NOT NULL THEN slot_value
+             WHEN vp IS NULL THEN vn
+             WHEN vn IS NULL THEN vp
+             ELSE vp + (vn - vp)
+                  * (CAST(date_diff('second', tp, grid_ts) AS DOUBLE)
+                     / CAST(date_diff('second', tp, tn) AS DOUBLE))
+           END + 1e-9, 6) AS interp_value
+    FROM w
+    """,
+)
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per series with LINEAR interpolation of empty slots
+    (operators.timeseries.interpolate_linear) — gap_fill's sibling for
+    gauge-type signals. Grid join + one window shuffle; the interpolation
+    itself is pure scalar double math, so the oracle replays it exactly
+    (ratios of integral second deltas are identical doubles on both
+    engines)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    out = ts_ops.interpolate_linear(events, ["user_id"], step="1 hour")
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.round(F.col("interp_value") + F.lit(1e-9), 6).alias("interp_value"),
+    )

@@ -244,3 +244,22 @@ def test_range_join_property_vs_bruteforce(spark):
         out = range_join(pts, iv, bucket=width)
         got = sorted((r.iv_id, r.pt_id) for r in out.collect())
         assert got == expect, f"bucket={width}"
+
+
+def test_interpolate_linear_known_values(spark):
+    """Points at hours 0 and 3 with values 10 and 40: the empty slots at
+    hours 1/2 interpolate to 20/30; observed slots pass through."""
+    from gibbon_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        ("s", "2024-01-01 00:15:00", 10.0),
+        ("s", "2024-01-01 03:45:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts_s string, value double").select(
+        "sid", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = {
+        r.grid_ts.hour: r.interp_value
+        for r in interpolate_linear(df, ["sid"], step="1 hour").collect()
+    }
+    assert out == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
