@@ -1261,3 +1261,107 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+_BLOOM_K = 4
+_BLOOM_WORDS = 2048  # 65536 bits in 32-bit words (bit 31 max keeps << in range)
+
+
+def _bloom_oracle_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT ('0x' || substr(md5('{j}:' || k), 1, 4))::INTEGER AS pos FROM k"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH k AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    p AS ({arms})
+    SELECT pos >> 5 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits,
+           count(*) AS n_sets
+    FROM p GROUP BY 1 ORDER BY 1
+    """
+
+
+def _bloom_pos_exprs(key_sql: str) -> list[str]:
+    """The k md5-derived bit positions (0..65535) for a key expression —
+    single source for the build and probe sides."""
+    return [
+        f"CAST(conv(substring(md5(concat('{j}:', {key_sql})), 1, 4), 16, 10) AS INT)"
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _prep(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").selectExpr(
+        "CAST(c_custkey AS STRING) AS k"
+    )
+    pos = F.explode(F.array(*[F.expr(e) for e in _bloom_pos_exprs("k")])).alias(
+        "pos"
+    )
+    return (
+        keys.select(pos)
+        .select(
+            F.shiftright("pos", 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"), F.count(F.lit(1)).alias("n_sets"))
+    )
+
+
+@query("sketch_bloom", _bloom_oracle_sql())
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built as a plain aggregation: k=4 md5-derived bit
+    positions per key, OR-ed into 32-bit words with bit_or — partials
+    merge map-side and across batches (bit_or is associative and
+    commutative), exactly like the count-min sketch. md5 determinism
+    makes the filter bit-for-bit oracle-replayable."""
+    return _bloom_words_df(spark, sf_dir).orderBy("word")
+
+
+@query(
+    "bloom_prefilter_join",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a hand-rolled Bloom pre-filter — the manual
+    version of Spark's runtime row-level filtering, exactness
+    preserved: the dim side's filter (8 KB of words, collected once and
+    constant-folded into the scan) discards most fact rows map-side
+    BEFORE the join shuffle; false positives are then removed by the
+    real semi join, so the result — and the oracle — is the plain IN
+    semantics. At 100 TB the shuffle carries only probable matches
+    instead of the whole fact table."""
+    words = {r.word: r.bits for r in _bloom_words_df(spark, sf_dir).collect()}
+    # ONE 16 KB string literal, not a 2048-element array literal: a
+    # CreateArray of 2048 literals exploded whole-stage-codegen size
+    # (measured 82 s for this query); substring+conv probes on a single
+    # constant string keep the generated code tiny (measured ~2 s).
+    hexstr = "".join(f"{words.get(w, 0):08x}" for w in range(_BLOOM_WORDS))
+    (cust, orders) = _prep(spark, sf_dir, "customer", "orders")
+    probed = orders.withColumn("__bh", F.lit(hexstr))
+    for e in _bloom_pos_exprs("CAST(o_custkey AS STRING)"):
+        probed = probed.filter(
+            F.expr(
+                f"(CAST(conv(substring(__bh, ({e} >> 5) * 8 + 1, 8), 16, 10) AS BIGINT)"
+                f" & shiftleft(CAST(1 AS BIGINT), {e} % 32)) != 0"
+            )
+        )
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        probed.drop("__bh")
+        .join(dim, probed.o_custkey == dim.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -88,3 +88,40 @@ def test_count_min_sketch_upper_bound(spark):
     for r in cells:
         est = min(sketch.get((str(i), r[f"b{i}"]), 0) for i in range(4))
         assert est >= truth.get(int(r.uid), 0)
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The hand-rolled Bloom pre-filter must pass every true match (no
+    false negatives — guaranteed by construction, checked anyway) and
+    prune a meaningful share of non-matching fact rows (k=4, 64 Kib
+    filter => FP rate << 50% at test cardinalities)."""
+    from gibbon_spark.queries_llm import _bloom_pos_exprs, _bloom_words_df
+    from gibbon_spark.sources.tables import load_table
+
+    words = {r.word: r.bits for r in _bloom_words_df(spark, SF_SMALL).collect()}
+    hexstr = "".join(f"{words.get(w, 0):08x}" for w in range(2048))
+    orders = load_table(spark, SF_SMALL, "orders").withColumn("__bh", F.lit(hexstr))
+    cond = None
+    for e in _bloom_pos_exprs("CAST(o_custkey AS STRING)"):
+        c = F.expr(
+            f"(CAST(conv(substring(__bh, ({e} >> 5) * 8 + 1, 8), 16, 10) AS BIGINT)"
+            f" & shiftleft(CAST(1 AS BIGINT), {e} % 32)) != 0"
+        )
+        cond = c if cond is None else (cond & c)
+    passed = orders.filter(cond)
+    cust = load_table(spark, SF_SMALL, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    true_matches = orders.join(
+        building, orders.o_custkey == building.c_custkey, "left_semi"
+    )
+    n_total, n_passed, n_true = orders.count(), passed.count(), true_matches.count()
+    # no false negatives: every true match survives the probe
+    assert (
+        true_matches.join(
+            passed.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).count()
+        == 0
+    )
+    assert n_true <= n_passed < n_total, (n_true, n_passed, n_total)
+    # prunes at least half of the non-matching rows
+    assert (n_passed - n_true) <= 0.5 * (n_total - n_true), (n_true, n_passed, n_total)
