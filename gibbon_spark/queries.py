@@ -16,6 +16,8 @@ value-hash comparison exact:
 
 from __future__ import annotations
 
+import itertools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2510,4 +2512,112 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "grid_ts",
         F.round(F.col("interp_value") + F.lit(1e-9), 6).alias("interp_value"),
+    )
+
+
+# =========================================================================
+# Streaming replay (batch-stream parity, oracle-exact) & anomaly scan
+# =========================================================================
+
+_STREAM_SINK_SEQ = itertools.count()
+
+
+@query(
+    "streaming_hourly_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, {money_sum_sql("value")} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay of the hourly rollup, checked against
+    the BATCH oracle — the strongest batch↔stream parity statement the
+    gate can make: the streaming tumbling-window aggregate over the
+    whole events table hash-matches DuckDB's GROUP BY. availableNow +
+    complete mode emits the final state of every window (append mode
+    would hold back windows newer than the watermark); at 100 TB the
+    production variant is append + watermark writing to the bucketed
+    store (streaming/ingest.py), where windows emit incrementally and
+    state stays bounded. The order-free decimal money_sum makes the
+    result identical no matter how the stream is micro-batched."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    s = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    rolled = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+    name = f"_gs_stream_rollup_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    """
+    WITH r AS (
+      SELECT event_id, user_id,
+             CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)) AS r4
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n, sum(r4) AS s, sum(r4 * r4) AS ss
+      FROM r GROUP BY user_id
+    ),
+    z AS (
+      SELECT r.user_id, r.event_id, CAST(r.r4 AS DOUBLE) AS v,
+             round((CAST(r.r4 AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n)
+                   / sqrt((CAST(a.ss AS DOUBLE)
+                           - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+                          / (a.n - 1))
+                   + 1e-9, 4) AS zscore
+      FROM r JOIN a ON r.user_id = a.user_id
+    )
+    SELECT user_id, event_id, v, zscore FROM z WHERE abs(zscore) > 3
+    """,
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly scan, fully oracle-exact: mean and
+    std come from EXACT decimal sums (sum, sum-of-squares of 4-dp
+    rounded values), so unlike stddev_samp the result does not depend
+    on float accumulation order — the scale discipline that makes
+    anomaly flags reproducible across partitionings. One aggregate +
+    one join back, both shuffles on the series key."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    r4 = F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    r = ev.select("event_id", "user_id", r4.alias("r4"))
+    a = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r4").alias("s"),
+        F.sum(F.col("r4") * F.col("r4")).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    v = F.col("r4").cast("double")
+    zscore = F.round(
+        (v - s_d / F.col("n"))
+        / F.sqrt((ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1))
+        + 1e-9,
+        4,
+    )
+    return (
+        r.join(a, "user_id")
+        .select("user_id", "event_id", v.alias("v"), zscore.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3)
     )
