@@ -363,10 +363,14 @@ def interpolate_linear(
     bracket (before first / after last observation) falls back to the
     one-sided neighbor.
 
-    Same shuffle profile as gap_fill: grid join + ONE window shuffle —
-    the backward (last/unbounded-preceding) and forward
-    (first/unbounded-following) frames share one partitioning and sort,
-    so Spark evaluates all four lookups in a single Window operator."""
+    Same shuffle profile as gap_fill: grid join + ONE window shuffle.
+    The forward lookup is a running ``last(ignorenulls)`` over a
+    DESCENDING sort, not ``first`` over a (currentRow,
+    unboundedFollowing) frame: Spark's UnboundedFollowing frame
+    re-scans to the partition end for every row — O(n²) per series,
+    measured 24 s vs 1.5 s at sf0.1 on this exact operator. Both
+    directions share the partitioning (one shuffle); the second sort is
+    per-partition."""
     joined = _slot_grid_join(df, series, ts=ts, value=value, step=step)
     w_back = (
         Window.partitionBy(*series)
@@ -375,15 +379,15 @@ def interpolate_linear(
     )
     w_fwd = (
         Window.partitionBy(*series)
-        .orderBy("grid_ts")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("grid_ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_ts = F.when(F.col("slot_value").isNotNull(), F.col("grid_ts"))
     out = (
         joined.withColumn("_vp", F.last("slot_value", ignorenulls=True).over(w_back))
         .withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(w_back))
-        .withColumn("_vn", F.first("slot_value", ignorenulls=True).over(w_fwd))
-        .withColumn("_tn", F.first(obs_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("_vn", F.last("slot_value", ignorenulls=True).over(w_fwd))
+        .withColumn("_tn", F.last(obs_ts, ignorenulls=True).over(w_fwd))
     )
     frac = (
         (F.unix_timestamp("grid_ts") - F.unix_timestamp("_tp")).cast("double")
