@@ -2621,3 +2621,99 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", v.alias("v"), zscore.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3)
     )
+
+
+@query(
+    "skew_salted_agg",
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)) AS r4
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(min(r4) AS DOUBLE), 4) AS min_value,
+           round(CAST(max(r4) AS DOUBLE), 4) AS max_value,
+           count(*) AS n_samples,
+           round(CAST(sum(r4) AS DOUBLE), 2) AS sum_value,
+           round(CAST(sum(r4) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM r GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew.salted_summary) on
+    a low-cardinality hot key: shard each key into 16 salt buckets,
+    partially aggregate per (key, salt), then combine — the explicit
+    fix when one key's post-combine state still overwhelms a single
+    reducer at 100 TB. Values are 4-dp decimal so the two-phase sum is
+    EXACTLY the direct groupBy sum (order-free), which is what lets a
+    plain single-phase oracle verify the salted plan."""
+    from gibbon_spark.operators import skew
+
+    (ev,) = _prep(spark, sf_dir, "events")
+    r4 = F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    s = skew.salted_summary(
+        ev.select("event_type", r4.alias("r4")),
+        ["event_type"],
+        value="r4",
+        salt_buckets=16,
+    )
+    return s.select(
+        "event_type",
+        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
+        "n_samples",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_samples"), 6
+        ).alias("avg_value"),
+    )
+
+
+@query(
+    "event_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(n_transitions / sum(n_transitions) OVER (PARTITION BY prev_type), 6)
+             AS p_transition
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() on the (user, time) ordering, then a global
+    (prev, next) count and a per-prev normalizing window. Two shuffles
+    total — one on user_id for the sequence, one on the transition
+    pair — both on keys whose cardinality is bounded by the event-type
+    vocabulary, so the plan is skew-safe at any row count."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    t = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNotNull())
+    )
+    c = t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_transition"),
+    )

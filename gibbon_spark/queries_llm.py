@@ -1365,3 +1365,71 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "decontaminate_ngram",
+    _SHINGLE_CTE
+    + """
+    , tagged AS (
+      SELECT doc_id, shingle,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 50 = 0
+               AS is_bench
+      FROM sh
+    ),
+    bench AS (SELECT DISTINCT shingle FROM tagged WHERE is_bench),
+    corp AS (SELECT doc_id, shingle FROM tagged WHERE NOT is_bench),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM corp WHERE shingle IN (SELECT shingle FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_sh,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / t.n_sh, 6) AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    ORDER BY contamination DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: a held-out "benchmark" set
+    (hash-mod 2% of docs — stands in for an eval suite) contributes a
+    distinct-3-gram set; every training doc reports the fraction of its
+    own 3-grams that collide with it. Top-20 most contaminated docs.
+
+    Scale shape: the shingle inverted index is built ONCE (codegen
+    window, see dedup.shingle_table), the membership probe is a
+    left-semi shuffle join on the shingle key — never a broadcast of a
+    corpus-sized side, never an all-pairs comparison. In production the
+    benchmark side is genuinely bounded, making the probe a broadcast;
+    here it scales with SF so we let AQE decide."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, n=3)
+    is_bench = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 50 == 0
+    )
+    tagged = sh.withColumn("is_bench", is_bench)
+    bench = tagged.filter("is_bench").select("shingle").distinct()
+    corp = tagged.filter(~F.col("is_bench")).select("id", "shingle")
+    tot = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hit = (
+        corp.join(bench, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tot.join(hit, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6
+            ).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "doc_id")
+        .limit(20)
+    )
