@@ -2717,3 +2717,61 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
         ).alias("p_transition"),
     )
+
+
+@query(
+    "streaming_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay of 30-min-gap sessionization
+    (session_window over a parquet stream, availableNow + complete
+    mode), hash-checked against the BATCH gaps-and-islands oracle —
+    batch↔stream parity for a *merging* stateful operator, where
+    micro-batch boundaries actively split sessions that the state
+    store must then merge back. Production shape: append mode + a real
+    watermark so closed sessions emit incrementally and state stays
+    bounded (complete mode here only because the gate wants every
+    session, including the ones a finite stream never closes)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    s = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sess = s.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    name = f"_gs_stream_sessions_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "session_start", "n_events")

@@ -1433,3 +1433,112 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("contamination"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) / sum(cnt), 6) AS ttr,
+           round(1.0 - CAST(sum(cnt * cnt) AS BIGINT) / (sum(cnt) * sum(cnt)), 6)
+             AS gini_diversity,
+           round(max(cnt) / sum(cnt), 6) AS top_token_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token
+    ratio, Simpson/Gini diversity 1 − Σ(cnt/n)², and the hot-token
+    share (Gopher-style repetition filters). All three are ratios of
+    INTEGER aggregates — no libm transcendentals — so the hash matches
+    any engine bit-for-bit (an entropy variant would hinge on log2
+    ulp parity between libms). Explode + two hash aggregations, both
+    partial-combined map-side; shuffle is on (doc, token) then doc."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return c.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / n, 6).alias("ttr"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("cnt") * F.col("cnt")) / (n * n), 6
+        ).alias("gini_diversity"),
+        F.round(F.max("cnt") / n, 6).alias("top_token_share"),
+    )
+
+
+@query(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127
+               AS scale
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_sum(list_transform(v, x ->
+                 (x - floor(x / scale + 0.5) * scale)
+                 * (x - floor(x / scale + 0.5) * scale))) / len(v)
+             END AS mse
+      FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(mse + 1e-12, 12) AS DECIMAL(28,12))
+                 ) AS DOUBLE) / count(*), 9) AS avg_mse
+    FROM e GROUP BY label
+    """,
+)
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error of the embedding column:
+    per-vector scale = max|x|/127, q = floor(x/scale + 0.5) (identical
+    round-half-up in every engine, unlike round()'s half-up/half-even
+    split), per-vector MSE via a sequential left fold (same
+    accumulation order as the oracle's list_sum), per-label mean via
+    the order-free decimal trick. The per-row array math runs in one
+    projection — int8 storage is 4× smaller and the dot-product path
+    for ANN (operators/similarity.py) reads it directly at 100 TB."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+        / 127
+    )
+    q = emb.select("label", v.alias("v"), scale.alias("scale"))
+    err = lambda x: (  # noqa: E731
+        x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+    )
+    mse = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + err(x) * err(x)
+        )
+        / F.size("v")
+    )
+    e = q.select("label", mse.alias("mse"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(
+                F.round(F.col("mse") + F.lit(1e-12), 12).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_mse"),
+    )

@@ -8,8 +8,10 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
-from gibbon_spark.queries import _QUERIES
+import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
+
+_QUERIES = entrymod.queries()
 
 
 def test_event_transitions_probabilities_normalize(spark):
@@ -82,3 +84,36 @@ def test_decontaminate_ngram_bounds_and_no_bench_docs(spark):
             ).collect()[0][0]
         )
         assert bucket != 0, r.doc_id
+
+
+def test_streaming_sessions_equals_batch_sessionization(spark):
+    stream_rows = {
+        (r.user_id, r.session_start): r.n_events
+        for r in _QUERIES["streaming_sessions"](spark, SF_SMALL).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start): r.n_events
+        for r in _QUERIES["ts_session_windows"](spark, SF_SMALL).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_lexical_diversity_invariants(spark):
+    rows = _QUERIES["text_lexical_diversity"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr <= 1.0
+        assert 0.0 <= r.gini_diversity < 1.0
+        # both sides 6-dp rounded → allow a one-ulp-of-rounding slack
+        assert r.top_token_share >= 1.0 / r.n_types - 1e-6
+
+
+def test_embedding_quantize_error_bounds(spark):
+    rows = _QUERIES["embedding_quantize_error"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_vecs > 0
+        # per-element error is at most scale/2; scale = max|x|/127, so
+        # mse < (max|x|/254)^2 — tiny; just pin non-negativity + sanity
+        assert 0.0 <= r.avg_mse < 1.0
