@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gibbon_spark.operators import layout
+from gibbon_spark.operators import merge as merge_ops
 from gibbon_spark.operators import timeseries as ts_ops
 from gibbon_spark.sources.tables import load_table
 
@@ -2775,3 +2776,176 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).select("user_id", "session_start", "n_events")
+
+
+# =========================================================================
+# Keyed maintenance (MERGE / SCD2) and iterative graph analytics
+# =========================================================================
+
+
+@query(
+    "merge_scd2_customers",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             c_mktsegment AS segment,
+             round(c_acctbal + 1e-9, 2) AS acctbal
+      FROM customer
+    )
+    SELECT c_custkey, segment, acctbal, 1 AS version,
+           (c_custkey % 4 <> 0) AS is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 8 = 0 THEN 'MACHINERY' ELSE segment END,
+           round(acctbal + 100.0, 2), 2, TRUE
+    FROM base WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'AUTOMOBILE', 0.0, 1, TRUE
+    FROM base WHERE c_custkey % 10 = 7
+    """,
+)
+def q_merge_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 MERGE over the customer dimension via
+    ``operators.merge.scd2_apply``: a deterministic change batch
+    (acctbal drift on keys %4==0, a no-op slice %4==1 that must vanish,
+    brand-new keys %10==7) against the standing dim. The operator's
+    changed/closed/no-op/insert branches are all equi-joins on the key
+    — one shuffle partitioning of each side, sort-merge at 100 TB —
+    and the oracle reconstructs the exact post-merge state
+    declaratively, so every branch is value-hash checked."""
+    (customer,) = _prep(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") + F.lit(1e-9), 2).alias("acctbal"),
+    )
+    dim = base.select(
+        "c_custkey", "segment", "acctbal",
+        F.lit(1).alias("version"), F.lit(True).alias("is_current"),
+    )
+    changed = base.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 8 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+        F.round(F.col("acctbal") + F.lit(100.0), 2).alias("acctbal"),
+    )
+    noop = base.filter(F.col("c_custkey") % 4 == 1).select(
+        "c_custkey", "segment", "acctbal"
+    )
+    inserts = base.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("c_custkey"),
+        F.lit("AUTOMOBILE").alias("segment"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    updates = changed.unionByName(noop).unionByName(inserts)
+    return merge_ops.scd2_apply(
+        dim, updates, "c_custkey", ["segment", "acctbal"]
+    )
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled fixed-point PageRank CTE chain — generated by the same
+    loop count the Spark plan uses, so the two sides cannot drift."""
+    sql = """
+    WITH edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    en AS (SELECT e.src, e.dst, (e.w * 1000000) // o.out_w AS wn
+           FROM edges e JOIN outw o ON e.src = o.src),
+    meta AS (SELECT n_nationkey AS node,
+                    (SELECT count(*) FROM nation) AS n_nodes
+             FROM nation),
+    pr0 AS (SELECT node, 1000000000000 // n_nodes AS pr, n_nodes FROM meta)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    inc{i} AS (SELECT en.dst AS node,
+                      CAST(sum((p.pr * en.wn) // 1000000) AS BIGINT) AS s
+               FROM en JOIN pr{i - 1} p ON en.src = p.node GROUP BY en.dst),
+    pr{i} AS (SELECT m.node,
+                     (15000000000000 // (100 * m.n_nodes))
+                       + ((85 * coalesce(i.s, 0)) // 100) AS pr,
+                     m.n_nodes
+              FROM meta m LEFT JOIN inc{i} i ON m.node = i.node)"""
+    sql += f"""
+    SELECT n_name AS nation, pr AS pr_scaled
+    FROM pr{iters} JOIN nation ON node = n_nationkey"""
+    return sql
+
+
+_PAGERANK_ITERS = 5
+
+
+@query("pagerank_nations", _pagerank_oracle_sql(_PAGERANK_ITERS))
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (damping 0.85, 5 synchronous iterations) over
+    the nation trade graph — edge (supplier_nation -> customer_nation)
+    weighted by lineitem count. All arithmetic is fixed-point BIGINT
+    (rank scaled by 1e12, edge weights pre-normalized to 1e6 so no
+    product exceeds 1e18 at ANY data scale): integer `div` + order-free
+    integer sums mean the result is bit-exact at any parallelism — no
+    float accumulation to reorder. The one scale-heavy step is the
+    4-way join building the 625-row edge list (one pass over lineitem,
+    sort-merge at 100 TB); the iterations then run on the persisted
+    edge list with the 25-row rank vector broadcast per step (bounded
+    side: nation count), so iteration cost is independent of SF."""
+    nation, customer, supplier, orders, lineitem = _prep(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+            "w",
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # localCheckpoint (eager) truncates lineage: without it the 5
+    # iterations re-print the whole edge-build subtree per step and the
+    # final plan is unreadable/unplannable at depth; with it the big
+    # 4-way join runs exactly once and iterations start from a
+    # materialized 625-row scan.
+    en = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.expr("(w * 1000000) div out_w").alias("wn"))
+        .localCheckpoint()
+    )
+    ncnt = nation.agg(F.count(F.lit(1)).alias("n_nodes"))
+    meta = (
+        nation.select(F.col("n_nationkey").alias("node"))
+        .crossJoin(F.broadcast(ncnt))
+        .localCheckpoint()
+    )
+    pr = meta.select("node", F.expr("1000000000000 div n_nodes").alias("pr"))
+    for _ in range(_PAGERANK_ITERS):
+        inc = (
+            en.join(F.broadcast(pr), en.src == pr.node)
+            .select("dst", F.expr("(pr * wn) div 1000000").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = meta.join(F.broadcast(inc), meta.node == inc.dst, "left").select(
+            "node",
+            F.expr(
+                "(15000000000000 div (100 * n_nodes))"
+                " + ((85 * coalesce(s, 0)) div 100)"
+            ).alias("pr"),
+        ).localCheckpoint()
+    return pr.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        ),
+        "node",
+    ).select(F.col("n_name").alias("nation"), F.col("pr").alias("pr_scaled"))

@@ -1542,3 +1542,70 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("avg_mse"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             round(tf.tf * ((n_docs - df.df + 0.5) / (df.df + 0.5)) + 1e-9, 4)
+               AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      WHERE tf.doc_id % 20 = 0
+    )
+    SELECT doc_id, tok, tf, df, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per sampled document,
+    idf in BM25's *rational* form (N - df + 0.5)/(df + 0.5) — monotone
+    in the usual log-idf but free of libm transcendentals, so the
+    score hashes identically on every engine (ln() ulp parity is the
+    one thing two engines never promise). df is corpus-wide; the tf
+    side is filtered to the doc sample BEFORE the join, so the
+    per-term join input shrinks 20x at the scan. At 100 TB both hash
+    aggregations partial-combine map-side and the term join shuffles
+    on the token; WindowGroupLimit pushes the top-5 into the final
+    per-doc shuffle."""
+    from pyspark.sql import Window
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(dfq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok", "tf", "df",
+            F.round(
+                F.col("tf")
+                * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                + F.lit(1e-9),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    )

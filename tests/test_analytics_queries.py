@@ -117,3 +117,61 @@ def test_embedding_quantize_error_bounds(spark):
         # per-element error is at most scale/2; scale = max|x|/127, so
         # mse < (max|x|/254)^2 — tiny; just pin non-negativity + sanity
         assert 0.0 <= r.avg_mse < 1.0
+
+
+def test_merge_upsert_source_wins(spark):
+    from gibbon_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
+    out = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_scd2_merge_invariants(spark):
+    rows = _QUERIES["merge_scd2_customers"](spark, SF_SMALL).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.c_custkey].append(r)
+    for k, vs in by_key.items():
+        current = [r for r in vs if r.is_current]
+        assert len(current) == 1, k
+        if k > 10000000:  # inserted keys: single fresh version
+            assert len(vs) == 1 and vs[0].version == 1
+            assert vs[0].segment == "AUTOMOBILE"
+        elif k % 4 == 0:  # changed keys: closed v1 + current v2
+            assert sorted((r.version, r.is_current) for r in vs) == [
+                (1, False),
+                (2, True),
+            ]
+        else:  # untouched and no-op keys: one current v1 row
+            assert len(vs) == 1 and vs[0].version == 1
+
+
+def test_pagerank_mass_and_floor(spark):
+    rows = _QUERIES["pagerank_nations"](spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    total = sum(r.pr_scaled for r in rows)
+    # integer truncation + dangling mass only ever LOSE probability
+    assert total <= 10**12
+    base = 15 * 10**12 // (100 * 25)
+    assert all(r.pr_scaled >= base for r in rows)
+    assert total >= base * 25
+
+
+def test_tfidf_top_terms_ranks(spark):
+    rows = _QUERIES["tfidf_top_terms"](spark, SF_SMALL).collect()
+    assert rows
+    per_doc = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.rnk <= 5
+        assert r.df >= 1 and r.tf >= 1
+        assert r.score > 0
+        assert r.doc_id % 20 == 0
+        per_doc[r.doc_id].append(r)
+    for _, rs in per_doc.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
+        assert scores == sorted(scores, reverse=True)

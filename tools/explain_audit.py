@@ -32,6 +32,9 @@ ALLOWED_NESTED_LOOP = {
     # one-row broadcast (global-total scalar) joined by a range
     # predicate — the standard scalar-subquery plan, O(n) not O(n²)
     "q11_important_stock",
+    # one-row broadcast (corpus doc count) cross-joined onto the
+    # sampled tf rows — scalar fan-out, O(n)
+    "tfidf_top_terms",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
