@@ -489,18 +489,24 @@ def range_join(
     ``sequence`` bound would otherwise run backwards).
     """
     width_us = _step_seconds(bucket) * 1_000_000
+
+    def _us(c: str):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op for
+        # TimestampType and maps NTZ via the session tz (pinned UTC).
+        # Both sides bucketize through the same conversion, so the
+        # equi-key is consistent regardless of timezone.
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "_rj_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start)) / width_us),
-                F.floor((F.unix_micros(F.col(end)) - 1) / width_us),
+                F.floor(_us(start) / width_us),
+                F.floor((_us(end) - 1) / width_us),
             )
         ),
     )
-    pt = points.withColumn(
-        "_rj_bucket", F.floor(F.unix_micros(F.col(ts)) / width_us)
-    )
+    pt = points.withColumn("_rj_bucket", F.floor(_us(ts) / width_us))
     joined = pt.join(iv, on="_rj_bucket").filter(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
     )

@@ -2523,6 +2523,26 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SINK_SEQ = itertools.count()
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table, normalized like the batch
+    loader (sources/tables.py): if the parquet stores TIMESTAMP(NANOS)
+    the column arrives as a long (nanosAsLong) and is converted to a
+    microsecond timestamp JVM-side; if it is already a timestamp it is
+    passed through unchanged."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
 @query(
     "streaming_hourly_rollup",
     f"""
@@ -2543,14 +2563,7 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state stays bounded. The order-free decimal money_sum makes the
     result identical no matter how the stream is micro-batched."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    s = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    s = _events_stream(spark, sf_dir)
     rolled = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         money_sum(F.col("value")).alias("sum_value"),
@@ -2755,14 +2768,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (complete mode here only because the gate wants every
     session, including the ones a finite stream never closes)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    s = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    s = _events_stream(spark, sf_dir)
     sess = s.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
     ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
@@ -2949,3 +2955,195 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "node",
     ).select(F.col("n_name").alias("nation"), F.col("pr").alias("pr_scaled"))
+
+
+# =========================================================================
+# Monitoring-TSDB analytics: counter rate, OHLC bars, rolling median, mode
+# =========================================================================
+
+
+@query(
+    "ts_counter_rate",
+    f"""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    inc AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS increase
+      FROM d
+    )
+    SELECT user_id,
+           {money_sum_sql("increase").replace(", 2)", ", 4)")} AS total_increase,
+           count(increase) AS n_increments,
+           round({money_sum_sql("increase").replace(", 2)", ", 4)")}
+                 / nullif(date_diff('second', min(ts), max(ts)), 0), 6)
+             AS rate_per_sec
+    FROM inc GROUP BY user_id
+    """,
+)
+def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter ``rate()``: per-series increase with
+    counter-reset handling (a drop means the counter restarted, so the
+    post-reset value is the whole increase — the monitoring semantics
+    Gorilla's production workload serves, per the VLDB'15 paper cited
+    at ``/root/reference/README.md:1-3``). One window pass + one
+    aggregation, both on the series key — a single shuffle; increases
+    are summed as exact decimals so the hash is association-order-free
+    at any parallelism."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inc = events.select(
+        "user_id",
+        "ts",
+        F.when(F.lag("value").over(w).isNull(), F.lit(None))
+        .when(
+            F.col("value") >= F.lag("value").over(w),
+            F.col("value") - F.lag("value").over(w),
+        )
+        .otherwise(F.col("value"))
+        .alias("increase"),
+    )
+    total = F.round(
+        F.sum(
+            F.round(F.col("increase") + F.lit(1e-9), 4).cast("decimal(24,4)")
+        ).cast("double"),
+        4,
+    )
+    span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return inc.groupBy("user_id").agg(
+        total.alias("total_increase"),
+        F.count("increase").alias("n_increments"),
+        F.round(total / F.nullif(span.cast("long"), F.lit(0)), 6).alias(
+            "rate_per_sec"
+        ),
+    )
+
+
+@query(
+    "ts_ohlc_1h",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start, ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bucket_start,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           count(*) AS n_samples
+    FROM rn GROUP BY user_id, bucket_start
+    """,
+)
+def q_ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per series x hour — the financial/metrics
+    downsample (open/close = first/last by time with a unique
+    event_id tiebreak, so the result is deterministic even with equal
+    timestamps, which the reference explicitly allows —
+    ``time_and_value_stream.rs:86``). Both row_number specs share the
+    (user_id, bucket_start) partitioning, so the window pass and the
+    final aggregation ride one shuffle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "bucket_start").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket_start").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return rn.groupBy("user_id", "bucket_start").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+@query(
+    "ts_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median5
+    FROM events
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a trailing 5-row frame — the robust
+    smoother (median filters reject spikes that EWMA smears). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both linearly
+    interpolate, so the values hash-match exactly. At 100 TB the frame
+    is evaluated per-partition after one shuffle on the series key;
+    for wide frames switch to approx_percentile."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median5"
+        ),
+    )
+
+
+@query(
+    "agg_mode_per_key",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_occurrences FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    ) WHERE rnk = 1
+    """,
+)
+def q_agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode (most frequent event_type, ties
+    broken lexicographically — Spark's built-in ``mode()`` leaves ties
+    undefined, so this is the portable form). Count-then-rank: the
+    count pre-aggregation shrinks the window input to one row per
+    (key, value) pair, so the rank pass is tiny regardless of row
+    count; WindowGroupLimit prunes to the top row per key before the
+    final filter."""
+    (events,) = _prep(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

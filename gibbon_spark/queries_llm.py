@@ -13,7 +13,7 @@ two sides can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gibbon_spark.functions import text as tx
@@ -1609,3 +1609,133 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "tok", "tf", "df", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword search: BM25 ranking (single-pass corpus stats, no per-token shuffle)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    """DuckDB oracle generated from the same term list and constants the
+    Spark plan uses, so the two sides cannot drift."""
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_aggs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"CAST(round((CASE WHEN tf_{i} > 0 THEN "
+        f"(((n_docs - df_{i}) + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * {_BM25_K1 + 1.0}) / (tf_{i} + ({_BM25_K1} * "
+        f"((1.0 - {_BM25_B}) + ({_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))))))"
+        f" ELSE 0.0 END) + 1e-9, 6) AS DECIMAL(24,6))"
+        for i in range(len(_BM25_TERMS))
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    tf AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_aggs}
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(({score_terms}) AS DOUBLE), 4) AS score,
+             {match_terms} AS n_terms_matched
+      FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, score, n_terms_matched,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+    """
+
+
+@query("bm25_search", _bm25_sql())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus: top-10 documents for a fixed
+    term set. Spark-first plan: per-doc term frequencies come from array
+    expressions on the token array (``size(filter(...))``) — NO
+    explode/shuffle per token; corpus stats (N, avgdl, per-term df) are
+    ONE scalar aggregation broadcast back; scoring is a per-row codegen
+    expression; top-10 is TakeOrderedAndProject (no global sort
+    materialization). idf uses BM25's rational (N - df + 0.5)/(df + 0.5)
+    form — no libm, so scores hash identically on every engine; the
+    3-term score sum is rounded-decimal addition in fixed order, immune
+    to float reassociation. At 100 TB: one scan for stats, one for
+    scoring, and a k-row driver-side top-k merge."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    tf = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score_parts = [
+        F.round(
+            F.when(
+                F.col(f"tf_{i}") > 0,
+                (
+                    ((F.col("n_docs") - F.col(f"df_{i}")) + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                )
+                * (
+                    (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+                    / (
+                        F.col(f"tf_{i}")
+                        + (
+                            F.lit(k1)
+                            * (
+                                F.lit(1.0 - b)
+                                + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))
+                            )
+                        )
+                    )
+                ),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).cast("decimal(24,6)")
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = score_parts[0]
+    for p in score_parts[1:]:
+        score = score + p
+    matched = sum(
+        F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+        for i in range(len(_BM25_TERMS))
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(score.cast("double"), 4).alias("score"),
+        matched.alias("n_terms_matched"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

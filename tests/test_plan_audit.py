@@ -11,7 +11,12 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
 
 # keep in sync with tools/explain_audit.py:ALLOWED_NESTED_LOOP
-ALLOWED_NESTED_LOOP = {"sim_topk_lsh", "q11_important_stock", "tfidf_top_terms"}
+ALLOWED_NESTED_LOOP = {
+    "sim_topk_lsh",
+    "q11_important_stock",
+    "tfidf_top_terms",
+    "bm25_search",
+}
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))
