@@ -3147,3 +3147,94 @@ def q_agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "ts_uptime_slo",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           max(gap) AS max_gap_s,
+           sum(CASE WHEN gap > 120 THEN 1 ELSE 0 END) AS n_outages,
+           sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END) AS downtime_s,
+           round(1.0 - (CAST(sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END)
+                             AS DOUBLE)
+                        / nullif(date_diff('second', min(ts), max(ts)), 0)), 6)
+             AS uptime_ratio
+    FROM g GROUP BY user_id
+    """,
+)
+def q_ts_uptime_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat SLO scan: per-series max gap, outage count, downtime
+    seconds, and uptime ratio under a 120 s liveness threshold — the
+    monitoring read-side companion to gap_fill (which repairs gaps,
+    while this one *reports* them). Integer gap arithmetic everywhere,
+    one double division at the end — association-order-free, so the
+    hash is stable at any parallelism. One window pass + one
+    aggregation on the series key: a single shuffle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        "ts",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag(F.col("ts")).over(w).cast("timestamp"))
+        ).alias("gap"),
+    )
+    downtime = F.sum(
+        F.when(F.col("gap") > 120, F.col("gap") - 120).otherwise(F.lit(0))
+    )
+    span = (
+        F.unix_timestamp(F.max("ts").cast("timestamp"))
+        - F.unix_timestamp(F.min("ts").cast("timestamp"))
+    )
+    return g.groupBy("user_id").agg(
+        F.max("gap").alias("max_gap_s"),
+        F.sum(F.when(F.col("gap") > 120, 1).otherwise(0)).alias("n_outages"),
+        downtime.alias("downtime_s"),
+        F.round(
+            F.lit(1.0)
+            - (downtime.cast("double") / F.nullif(span.cast("long"), F.lit(0))),
+            6,
+        ).alias("uptime_ratio"),
+    )
+
+
+@query(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming at-ingest exact dedup replay, hash-checked
+    against the batch DISTINCT oracle: the stream projects to the dedup
+    key and drops duplicates statefully, so the emitted set equals the
+    batch answer no matter how the replay is micro-batched. Projecting
+    BEFORE dropDuplicates keeps only key columns in the state store.
+    This gate variant keeps exact unbounded state; the production
+    at-ingest gate is streaming/ingest.py::dedup_stream
+    (dropDuplicatesWithinWatermark), which bounds state by the
+    watermark at 100 TB/day."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = _events_stream(spark, sf_dir)
+    deduped = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"_gs_stream_dedup_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

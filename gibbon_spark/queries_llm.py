@@ -1739,3 +1739,110 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus assembly: sequence packing and stratified sampling
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(text, '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM t
+    )
+    SELECT lang, start_off // {_PACK_BUDGET} AS chunk_id,
+           count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+           min(doc_id) AS first_doc
+    FROM c GROUP BY lang, chunk_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-training
+    batch assembly: documents are concatenated in deterministic order
+    (doc_id) per language stream and cut into fixed token-budget chunks;
+    a doc belongs to the chunk its first token lands in. One window
+    pass (running token offset) + one aggregation, both partitioned by
+    the stream key — a single shuffle. At 100 TB the stream key would
+    be (lang, shard) so each packer partition holds bounded state;
+    membership is a pure function of the ordered prefix sums, so any
+    engine replays it exactly."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tx.tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.withColumn("chunk_id", F.expr(f"start_off div {_PACK_BUDGET}"))
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_STRATA_PCT = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 80}
+_STRATA_DEFAULT_PCT = 100
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_STRATA_PCT.items())
+    )
+    return f"CASE {arms} ELSE {_STRATA_DEFAULT_PCT} END"
+
+
+@query(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM h WHERE bucket < {_strata_case_sql()}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates — the corpus
+    rebalancing step of a training mix (downsample over-represented
+    languages, keep the tail). Membership = md5(salt || doc_id) mod 100
+    under the stratum's threshold: reproducible on any engine and any
+    cluster size, no RNG state, stable as the corpus grows. Pure
+    map-side filter — no shuffle at all; at 100 TB this runs at scan
+    speed with the filter pushed into the Parquet row-group scan where
+    stats allow."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    threshold = F.lit(_STRATA_DEFAULT_PCT)
+    for k, v in sorted(_STRATA_PCT.items()):
+        threshold = F.when(F.col("lang") == k, v).otherwise(threshold)
+    return docs.filter(bucket < threshold).select("doc_id", "lang", "n_chars")
