@@ -417,18 +417,28 @@ def asof_join(
     ts: str = "ts",
     right_value_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, the most recent right row with ``right.ts <=
-    left.ts`` and equal keys.
+    """As-of join with equal keys, in any of the three directions:
 
-    Implemented with the union-and-forward-fill strategy rather than a
-    range join: tag both sides, union, then one window pass per key
-    ordered by (ts, side) forward-fills the latest right values onto left
-    rows. Exactly ONE shuffle on the join key and no row explosion —
-    this is the strategy that survives 100 TB, where a naive
+    - ``backward`` (default): the most recent right row with
+      ``right.ts <= left.ts``;
+    - ``forward``: the earliest right row with ``right.ts >= left.ts``;
+    - ``nearest``: whichever of the two is closer in time (tie →
+      backward).
+
+    Implemented with the union-and-fill strategy rather than a range
+    join: tag both sides, union, then one window pass per key ordered
+    by (ts, side) fills the matching right values onto left rows
+    (forward uses the same pass with the order reversed; nearest runs
+    both fills over the SAME partitioning and picks per row). Exactly
+    ONE shuffle on the join key regardless of direction, and no row
+    explosion — the strategy that survives 100 TB, where a naive
     range-condition join degenerates to a broadcast-nested-loop or an
     exploding theta join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     on = list(on)
     rv = list(
         right_value_cols
@@ -448,16 +458,63 @@ def asof_join(
     )
     unioned = r_full.select(*l_tagged.columns).unionByName(l_tagged)
     # right rows sort before left rows at the same ts (_side 0 < 1), so a
-    # right row AT the left ts is visible to it ("<=" semantics).
-    w = (
+    # right row AT the left ts is visible to it — "<=" / ">=" inclusive
+    # semantics in both directions.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(ts, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in rv}
-    ).withColumn(f"{ts}{suffix}", F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    # descending ts: the preceding frame holds rows with ts >= this row's,
+    # and last() of it is the nearest following right row.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.desc(ts), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def _fill(df: DataFrame, w, names: dict[str, str]) -> DataFrame:
+        df = df.withColumns(
+            {
+                names[c]: F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                for c in rv
+            }
+        )
+        return df.withColumn(
+            names[ts],
+            F.last(
+                F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True
+            ).over(w),
+        )
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        names = {c: f"{c}{suffix}" for c in (*rv, ts)}
+        filled = _fill(unioned, w, names)
+        return filled.filter(F.col("_side") == 1).drop("_side")
+
+    # nearest: both fills share one hash partitioning (two sorts, one
+    # shuffle), then a per-row pick by time distance.
+    b_names = {c: f"_b_{c}" for c in (*rv, ts)}
+    f_names = {c: f"_f_{c}" for c in (*rv, ts)}
+    both = _fill(_fill(unioned, w_back, b_names), w_fwd, f_names)
+    t = F.unix_micros(F.col(ts).cast("timestamp"))
+    tb = F.unix_micros(F.col(b_names[ts]).cast("timestamp"))
+    tf = F.unix_micros(F.col(f_names[ts]).cast("timestamp"))
+    use_back = F.col(f_names[ts]).isNull() | (
+        F.col(b_names[ts]).isNotNull() & ((t - tb) <= (tf - t))
+    )
+    picked = both.withColumns(
+        {
+            f"{c}{suffix}": F.when(use_back, F.col(b_names[c])).otherwise(
+                F.col(f_names[c])
+            )
+            for c in (*rv, ts)
+        }
+    )
+    return picked.filter(F.col("_side") == 1).drop(
+        "_side", *b_names.values(), *f_names.values()
+    )
 
 
 def range_join(

@@ -3238,3 +3238,98 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "ts_asof_join_forward",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.value AS next_purchase_value,
+           r.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def q_ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the EARLIEST purchase
+    at-or-after it by the same user (the lookahead direction —
+    label-attribution / time-to-conversion shape). Same union-and-fill
+    plan as the backward join with the window order reversed: still
+    exactly one shuffle on the key."""
+    (events,) = _prep(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = ts_ops.asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_value_cols=["purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_right").alias("next_purchase_value"),
+        F.col("ts_right").alias("next_purchase_ts"),
+    )
+
+
+@query(
+    "ts_asof_join_nearest",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT l.event_id, r.ts AS b_ts, r.value AS b_value
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS f_ts, r.value AS f_value
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                     date_diff('microsecond', b_ts, l.ts)
+                       <= date_diff('microsecond', l.ts, f_ts))
+                THEN b_value ELSE f_value END AS near_purchase_value,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                     date_diff('microsecond', b_ts, l.ts)
+                       <= date_diff('microsecond', l.ts, f_ts))
+                THEN b_ts ELSE f_ts END AS near_purchase_ts
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def q_ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the closer of the latest-before and
+    earliest-after purchase (tie → backward) — sensor-fusion
+    alignment semantics. Both direction fills ride ONE hash
+    partitioning (two in-partition sorts, one shuffle), then a per-row
+    pick by time distance; the oracle needs two ASOF joins plus a
+    re-join to express the same thing."""
+    (events,) = _prep(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = ts_ops.asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_value_cols=["purchase_value"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_right").alias("near_purchase_value"),
+        F.col("ts_right").alias("near_purchase_ts"),
+    )

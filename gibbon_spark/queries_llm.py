@@ -1343,23 +1343,27 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics. At 100 TB the shuffle carries only probable matches
     instead of the whole fact table."""
     words = {r.word: r.bits for r in _bloom_words_df(spark, sf_dir).collect()}
-    # ONE 16 KB string literal, not a 2048-element array literal: a
-    # CreateArray of 2048 literals exploded whole-stage-codegen size
-    # (measured 82 s for this query); substring+conv probes on a single
-    # constant string keep the generated code tiny (measured ~2 s).
-    hexstr = "".join(f"{words.get(w, 0):08x}" for w in range(_BLOOM_WORDS))
+    # ONE array<bigint> literal (a single ArrayData object — NOT a
+    # 2048-element CreateArray, which exploded whole-stage-codegen size
+    # at 82 s) probed with O(1) element_at. The previous 16 KB hex-string
+    # + substring probe cost ~20 s at sf0.1: UTF8String position lookup
+    # walks codepoints from the start, so every probe scanned O(pos)
+    # bytes of the literal.
+    arr = F.lit([words.get(w, 0) for w in range(_BLOOM_WORDS)]).cast(
+        "array<bigint>"
+    )
     (cust, orders) = _prep(spark, sf_dir, "customer", "orders")
-    probed = orders.withColumn("__bh", F.lit(hexstr))
+    probed = orders.withColumn("__ba", arr)
     for e in _bloom_pos_exprs("CAST(o_custkey AS STRING)"):
         probed = probed.filter(
             F.expr(
-                f"(CAST(conv(substring(__bh, ({e} >> 5) * 8 + 1, 8), 16, 10) AS BIGINT)"
+                f"(element_at(__ba, ({e} >> 5) + 1)"
                 f" & shiftleft(CAST(1 AS BIGINT), {e} % 32)) != 0"
             )
         )
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
-        probed.drop("__bh")
+        probed.drop("__ba")
         .join(dim, probed.o_custkey == dim.c_custkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))

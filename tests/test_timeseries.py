@@ -263,3 +263,47 @@ def test_interpolate_linear_known_values(spark):
         for r in interpolate_linear(df, ["sid"], step="1 hour").collect()
     }
     assert out == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+
+
+def test_asof_join_forward_takes_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(100), 1.0), ("a", _ts(200), 2.0), ("b", _ts(100), 3.0)],
+        "k string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(50), 10.0), ("a", _ts(100), 20.0), ("a", _ts(150), 30.0),
+         ("b", _ts(40), 40.0)],
+        "k string, ts timestamp, rv double",
+    )
+    out = {
+        (r.k, r.ts): (r.rv_right, r.ts_right)
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    # at-or-after: left a@100 sees right a@100 (not a@150)
+    assert out[("a", _ts(100))] == (20.0, _ts(100))
+    assert out[("a", _ts(200))] == (None, None)
+    assert out[("b", _ts(100))] == (None, None)
+
+
+def test_asof_join_nearest_picks_closer_side_tie_backward(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(100), 1.0), ("a", _ts(210), 2.0), ("a", _ts(300), 3.0)],
+        "k string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(90), 10.0), ("a", _ts(220), 20.0)],
+        "k string, ts timestamp, rv double",
+    )
+    out = {
+        r.ts: (r.rv_right, r.ts_right)
+        for r in asof_join(left, right, ["k"], direction="nearest").collect()
+    }
+    assert out[_ts(100)] == (10.0, _ts(90))   # 10s back vs 120s fwd
+    assert out[_ts(210)] == (20.0, _ts(220))  # 120s back vs 10s fwd
+    assert out[_ts(300)] == (20.0, _ts(220))  # nothing after
+    # exact tie goes backward
+    left2 = spark.createDataFrame(
+        [("a", _ts(155), 1.0)], "k string, ts timestamp, value double"
+    )
+    row = asof_join(left2, right, ["k"], direction="nearest").collect()[0]
+    assert (row.rv_right, row.ts_right) == (10.0, _ts(90))
