@@ -2284,29 +2284,40 @@ def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: each stage is the
     earliest qualifying event strictly after the previous stage's
-    timestamp. Three filtered min-aggregates chained by equi-joins on
-    user_id — every shuffle is on the same key, so at 100 TB the
-    exchanges reuse one hash partitioning (no re-shuffle between
-    stages; AQE coalesces the per-stage sizes independently)."""
+    timestamp. ONE scan of events and ONE shuffle on user_id: the three
+    stage timestamps are chained conditional mins over the same
+    whole-partition window (each refers to the previous stage's column,
+    so they stack as Window nodes on a single exchange), and the final
+    per-user reduction reuses that partitioning. The join formulation
+    of the same funnel read events four times and shuffled eleven."""
     (ev,) = _prep(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     stage = (
         F.lit(1)
@@ -2314,8 +2325,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        d.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("view_ts").alias("view_ts"),
+            F.first("click_ts").alias("click_ts"),
+            F.first("purchase_ts").alias("purchase_ts"),
+        )
         .select("user_id", "view_ts", "click_ts", "purchase_ts", stage.alias("stage"))
         .orderBy("user_id")
     )
@@ -3332,4 +3348,132 @@ def q_ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("purchase_value_right").alias("near_purchase_value"),
         F.col("ts_right").alias("near_purchase_ts"),
+    )
+
+
+@query(
+    "window_rolling_distinct",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             AS distinct_types_10
+    FROM events
+    """,
+)
+def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count over a trailing 10-row frame per series —
+    behavioral-diversity signal (how many event kinds in the user's
+    last 10 actions). Spark has no DISTINCT window aggregate, so this
+    composes collect_list → array_distinct → size inside one window
+    pass; O(frame) per row, fine for small frames. For wide frames at
+    100 TB switch to approx_count_distinct over a time-bucketed
+    rollup. One shuffle on the series key."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "distinct_types_10"
+        ),
+    )
+
+
+@query(
+    "streaming_stateful_summary",
+    """
+    WITH o AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value,
+           round(CAST(sum(CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)))
+                      AS DOUBLE), 4) AS sum_4dp,
+           max(CASE WHEN rn = 1 THEN value END) AS last_value
+    FROM o GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState),
+    hash-checked against a batch SQL oracle — the codec-style
+    per-series state machine (timestamp_stream.rs:8-16 Initial →
+    Following) as a first-class streaming query. The state fold is
+    deliberately ORDER-FREE: count/min/max are commutative, the sum
+    accumulates integer ten-thousandths (exact, any order), and
+    last-value tracks the (ts, event_id) argmax instead of trusting
+    arrival order — so the emitted state is identical under any
+    micro-batching, chunking, or shuffle order, and the final
+    per-series emission (max n_events) equals the batch answer
+    bit-for-bit. State is O(1) per series, keyed by the shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+
+    out_schema = (
+        "user_id long, n_events long, min_value double, max_value double, "
+        "sum_4dp double, last_value double"
+    )
+    state_schema = (
+        "n long, cents long, mn double, mx double, bts long, beid long, "
+        "lastv double"
+    )
+
+    def track(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, cents, mn, mx, bts, beid, lastv = state.get
+        else:
+            n, cents, mn, mx, bts, beid, lastv = 0, 0, None, None, None, None, None
+        for pdf in pdf_iter:
+            ts_us = pdf["ts"].astype("int64")
+            for v, t, e in zip(pdf["value"], ts_us, pdf["event_id"]):
+                v, t, e = float(v), int(t), int(e)
+                n += 1
+                cents += int(round((v + 1e-9) * 10000))
+                mn = v if mn is None else min(mn, v)
+                mx = v if mx is None else max(mx, v)
+                if bts is None or (t, e) > (bts, beid):
+                    bts, beid, lastv = t, e, v
+        state.update((n, cents, mn, mx, bts, beid, lastv))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+                "sum_4dp": [round(cents / 10000.0, 4)],
+                "last_value": [lastv],
+            }
+        )
+
+    tracked = s.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"_gs_stream_stateful_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -1850,3 +1850,127 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in sorted(_STRATA_PCT.items()):
         threshold = F.when(F.col("lang") == k, v).otherwise(threshold)
     return docs.filter(bucket < threshold).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and n-gram language statistics
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS t
+      FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS s
+      FROM seeded
+    )
+    SELECT doc_id, n_emails, n_phones,
+           length(s) AS scrubbed_len, md5(s) AS scrubbed_md5
+    FROM scrub
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance pass every training
+    corpus needs. The synthetic corpus contains no PII, so the query
+    first deterministically injects an email and phone into every 7th
+    doc (a pure function of doc_id, replayed identically by the
+    oracle), then counts and scrubs with character-class-only regexes
+    that behave identically under Java regex and RE2. The md5 of the
+    scrubbed text pins the exact redaction output, not just the
+    counts. Pure map-side expression work — no shuffle; at 100 TB this
+    runs at scan speed inside whole-stage codegen."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scrub = seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("s"),
+    )
+    return scrub.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("s").alias("scrubbed_len"),
+        F.md5("s").alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "text_bigram_top20",
+    """
+    WITH t AS (
+      SELECT string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token bigrams — the n-gram LM statistic
+    (precursor to KenLM-style filtering and repetition heuristics).
+    posexplode + lead() over a per-doc window stays in whole-stage
+    codegen (higher-order array lambdas fall back to interpreted
+    eval); the bigram count partial-aggregates map-side and the top-20
+    is TakeOrderedAndProject — driver merges 20 rows per partition, no
+    global sort."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(tx.tokens("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bi = base.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
