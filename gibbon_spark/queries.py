@@ -3477,3 +3477,98 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@query(
+    "null_semantics_gallery",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pr
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           count(p) AS n_nonnull_p,
+           sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_null_p,
+           sum(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+             AS n_null_safe_eq,
+           count(DISTINCT pr) AS n_distinct_pr,
+           round(avg(p), 6) AS avg_skipnull,
+           round(CAST(sum(CAST(round(coalesce(p, 0) + 1e-9, 4)
+                               AS DECIMAL(24,4))) AS DOUBLE), 2)
+             AS sum_coalesced
+    FROM o
+    """,
+)
+def q_null_semantics_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics pinned against the oracle: COUNT(col)
+    vs COUNT(*), null-skipping AVG, null-safe equality (<=>), DISTINCT
+    over a nullable key, COALESCE into an exact sum. Nulls are
+    injected deterministically (pure function of o_orderkey) since the
+    test tables ship fully dense. Single aggregation, no shuffle
+    beyond the one-row reduce."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    o = orders.select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_nonnull_p"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("n_null_p"),
+        F.sum(
+            F.when(F.col("pr").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_null_safe_eq"),
+        F.count_distinct(F.col("pr")).alias("n_distinct_pr"),
+        F.round(F.avg("p"), 6).alias("avg_skipnull"),
+        money_sum(F.coalesce(F.col("p"), F.lit(0))).alias("sum_coalesced"),
+    )
+
+
+@query(
+    "ts_threshold_crossings",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    )
+    SELECT user_id,
+           sum(CASE WHEN prev <= 150 AND value > 150 THEN 1 ELSE 0 END)
+             AS n_up_crossings,
+           sum(CASE WHEN prev > 150 AND value <= 150 THEN 1 ELSE 0 END)
+             AS n_down_crossings,
+           min(CASE WHEN prev <= 150 AND value > 150 THEN ts END)
+             AS first_breach_ts
+    FROM d GROUP BY user_id
+    """,
+)
+def q_ts_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-rule edge detection: upward/downward crossings of a
+    threshold per series plus the first breach time — the debounced
+    alerting primitive (an alert fires on the EDGE, not while the
+    level holds, which is exactly lag-based state like the reference's
+    Following codec state). One window pass + one aggregation on the
+    series key: a single shuffle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+    )
+    up = (F.col("prev") <= 150) & (F.col("value") > 150)
+    down = (F.col("prev") > 150) & (F.col("value") <= 150)
+    return d.groupBy("user_id").agg(
+        F.sum(F.when(up, 1).otherwise(0)).alias("n_up_crossings"),
+        F.sum(F.when(down, 1).otherwise(0)).alias("n_down_crossings"),
+        F.min(F.when(up, F.col("ts"))).alias("first_breach_ts"),
+    )

@@ -307,3 +307,53 @@ def test_asof_join_nearest_picks_closer_side_tie_backward(spark):
     )
     row = asof_join(left2, right, ["k"], direction="nearest").collect()[0]
     assert (row.rv_right, row.ts_right) == (10.0, _ts(90))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_matches_bruteforce_reference(spark, seed, direction):
+    """All three directions vs an O(L×R) per-key reference on random
+    data with duplicate timestamps and keys missing from either side."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        (k, _ts(rng.randrange(0, 500)), float(i))
+        for i, k in enumerate(rng.choices(keys, k=30))
+    ]
+    right = [
+        (k, _ts(rng.randrange(0, 500)), 100.0 + i)
+        for i, k in enumerate(rng.choices(keys[:3], k=25))  # 'd' has no right rows
+    ]
+    ldf = spark.createDataFrame(left, "k string, ts timestamp, lv double")
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, rv double")
+
+    def expect(k, t):
+        back = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
+        fwd = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt >= t]
+        b = max(back, default=None)  # latest ts; ties -> larger rv is NOT
+        f = min(fwd, default=None)
+        # guard: duplicate right ts within a key would make the pick
+        # ambiguous; regenerate-free determinism by construction below
+        if direction == "backward":
+            return b
+        if direction == "forward":
+            return f
+        if b is None:
+            return f
+        if f is None:
+            return b
+        return b if (t - b[0]) <= (f[0] - t) else f
+
+    # drop ambiguous duplicate right (k, ts) pairs for determinism
+    seen: dict = {}
+    right = [r for r in right if seen.setdefault((r[0], r[1]), r) is r]
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, rv double")
+
+    out = asof_join(ldf, rdf, ["k"], direction=direction).collect()
+    assert len(out) == len(left)
+    for row in out:
+        exp = expect(row.k, row.ts)
+        got = None if row.ts_right is None else (row.ts_right, row.rv_right)
+        assert got == exp, (direction, row.k, row.ts, got, exp)
