@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gibbon_spark.operators import layout
 from gibbon_spark.operators import merge as merge_ops
+from gibbon_spark.operators import skew as skew_ops
 from gibbon_spark.operators import timeseries as ts_ops
 from gibbon_spark.sources.tables import load_table
 
@@ -3571,4 +3572,34 @@ def q_ts_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(up, 1).otherwise(0)).alias("n_up_crossings"),
         F.sum(F.when(down, 1).otherwise(0)).alias("n_down_crossings"),
         F.min(F.when(up, F.col("ts"))).alias("first_breach_ts"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    f"""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           {money_sum_sql("l.l_extendedprice")} AS sum_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof fact-dim join via explicit salting
+    (operators.skew.salted_join): the fact side shards each key over 16
+    salt buckets and the dim side replicates once per bucket, so a
+    pathologically hot part key spreads over 16 reducers instead of
+    melting one. Result is row-identical to the plain equi-join — the
+    oracle IS the plain join — and the per-brand rollup re-aggregates
+    order-free decimal sums. Use when AQE skew-splitting can't apply
+    (first-shuffle skew, stateful sinks); elsewhere let AQE do it."""
+    li, part = _prep(spark, sf_dir, "lineitem", "part")
+    dim = part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = skew_ops.salted_join(
+        li.select("l_partkey", "l_extendedprice"), dim, "l_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )

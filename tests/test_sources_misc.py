@@ -67,3 +67,34 @@ def test_orc_sink_and_source_roundtrip(spark):
     assert back.count() == 10
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90)]" in plan
+
+
+def test_nested_types_parquet_roundtrip(spark):
+    """Arrays, maps, and structs (incl. array<struct> and nested struct)
+    survive a parquet write/read bit-exactly — the engine's nested-type
+    surface goes beyond the reference's fixed (u64, f64) schema."""
+    d = tempfile.mkdtemp(prefix="gibbon_nested_")
+    path = os.path.join(d, "nested.parquet")
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [1.5, 2.5],
+                {"a": 1, "b": 2},
+                (7, "x"),
+                [(1, "u"), (2, "v")],
+                ((3.25, 4), "deep"),
+            ),
+            (2, [], {}, (8, None), [], ((0.0, 0), None)),
+        ],
+        "id int, arr array<double>, m map<string,int>, "
+        "s struct<k:int,v:string>, "
+        "asl array<struct<n:int,t:string>>, "
+        "deep struct<inner:struct<f:double,g:int>,label:string>",
+    )
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert a == b
