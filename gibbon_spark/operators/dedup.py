@@ -469,10 +469,18 @@ def connected_components(
     # and without the cache the upstream plan (e.g. the whole MinHash-LSH
     # pipeline) would execute twice.
     edges = edges.select(id_a, id_b).persist()
+    # Size the loop's parallelism from the edge COUNT, not the upstream
+    # partition count: the LSH pipeline leaves its cache partitioning
+    # (e.g. 64 partitions for a few hundred pairs), and every round then
+    # schedules 64-task stages whose task overhead dwarfs the work
+    # (measured ~3 s/round for 512 rows). ~100k edges per partition
+    # keeps tiny graphs single-task and 1e9-edge graphs at 10k tasks.
+    n_edges = edges.count()
+    parts = int(max(1, min(4096, (n_edges + 99_999) // 100_000)))
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    sym = sym.persist()
+    sym = sym.coalesce(parts).persist()
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -487,7 +495,7 @@ def connected_components(
     # (AQE sized it when the cache materialized).
     spark = edges.sparkSession
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(sym.rdd.getNumPartitions(), 1)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         labels = _cc_loop(sym, labels, max_iter)
     finally:
@@ -498,24 +506,35 @@ def connected_components(
 
 
 def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    # The convergence check rides the label aggregation itself: self rows
+    # carry their old label in a second column, so after the min-agg each
+    # node holds (new, old) and "did anything change" is a filter+count
+    # on the already-materialized checkpoint — no extra join job per
+    # round (the previous new⋈old comparison join roughly doubled
+    # per-round wall time).
+    label_dt = labels.schema["label"].dataType
     for _ in range(max_iter):
         prop = sym.join(labels, sym.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
+            F.col("src").alias("node"),
+            "label",
+            F.lit(None).cast(label_dt).alias("self_label"),
         )
         new_labels = (
-            labels.unionByName(prop)
+            labels.select("node", "label", F.col("label").alias("self_label"))
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("self_label").alias("old_label"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels

@@ -66,6 +66,20 @@ def as_timeseries(
 # ---------------------------------------------------------------------------
 
 
+def _exact_avg(value: str):
+    """Association-order-free mean: exact decimal numerator (4 dp
+    pre-round, +1e-9 half-boundary guard) over the non-null count. A
+    raw double avg() can differ by 1 ulp between Spark's parallel sum
+    and a serial oracle and flip the 6 dp presentation — observed at
+    sf0.1. Decimal partials combine map-side like any sum, so the
+    scale story is unchanged."""
+    return (
+        F.sum(F.round(F.col(value) + F.lit(1e-9), 4).cast("decimal(24,4)"))
+        .cast("double")
+        / F.count(value)
+    )
+
+
 def summary(df: DataFrame, *, value: str = "value", ts: str = "ts") -> DataFrame:
     """The reference's five aggregates in one pass.
 
@@ -78,7 +92,7 @@ def summary(df: DataFrame, *, value: str = "value", ts: str = "ts") -> DataFrame
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
         F.count(F.lit(1)).alias("n_samples"),
-        F.avg(value).alias("avg_value"),
+        _exact_avg(value).alias("avg_value"),
         F.max(ts).alias("max_ts"),
     )
 
@@ -94,7 +108,7 @@ def summary_by_series(
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
         F.count(F.lit(1)).alias("n_samples"),
-        F.avg(value).alias("avg_value"),
+        _exact_avg(value).alias("avg_value"),
         F.max(ts).alias("max_ts"),
     )
 
@@ -234,7 +248,7 @@ def resample(
             F.min(value).alias("min_value"),
             F.max(value).alias("max_value"),
             F.count(F.lit(1)).alias("n_samples"),
-            F.avg(value).alias("avg_value"),
+            _exact_avg(value).alias("avg_value"),
         )
         .withColumn("bucket_start", F.col("win").start)
         .drop("win")

@@ -70,14 +70,38 @@ def money_sum(col):
     straddle a rounding boundary by ~1e-7 of parallel reassociation.
     money_sum_sql is the oracle twin."""
     return F.round(
-        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double"), 2
+        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
+        + F.lit(1e-9),
+        2,
     )
 
 
 def money_sum_sql(expr: str) -> str:
     return (
         f"round(CAST(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))) "
-        "AS DOUBLE), 2)"
+        "AS DOUBLE) + 1e-9, 2)"
+    )
+
+
+def exact_avg(col):
+    """Association-order-free mean: exact decimal numerator (4 dp
+    pre-round, same guard as money_sum) divided by the non-null count,
+    presented at 6 dp. A raw round(avg(x), 6) can sit within 1 ulp of a
+    rounding boundary and flip between Spark's parallel sum and the
+    oracle's ordered sum — observed at sf0.1; this form hashes
+    identically at any parallelism. exact_avg_sql is the oracle twin."""
+    return F.round(
+        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
+        / F.count(col)
+        + F.lit(1e-9),
+        6,
+    )
+
+
+def exact_avg_sql(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))) "
+        f"AS DOUBLE) / count({expr}) + 1e-9, 6)"
     )
 
 
@@ -92,7 +116,7 @@ def money_sum_sql(expr: str) -> str:
     SELECT min(value) AS min_value,
            max(value) AS max_value,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value,
            max(ts) AS max_ts
     FROM events
     """,
@@ -114,7 +138,7 @@ def q_ts_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS min_value,
            max(value) AS max_value,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value,
            max(ts) AS max_ts
     FROM events
     GROUP BY event_type
@@ -179,7 +203,7 @@ def q_ts_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '2 hours', ts) AS bucket_start,
            event_type,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -194,7 +218,7 @@ def q_ts_bucket_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
         )
     )
 
@@ -207,7 +231,7 @@ def q_ts_bucket_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS min_value,
            max(value) AS max_value,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -253,7 +277,7 @@ def q_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_topk_series",
     """
-    SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+    SELECT user_id, count(*) AS n_events, round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value
     FROM events
     GROUP BY user_id
     ORDER BY n_events DESC, user_id
@@ -266,7 +290,7 @@ def q_ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _prep(spark, sf_dir, "events")
     agg = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        exact_avg(F.col("value")).alias("avg_value"),
     )
     return ts_ops.topk(agg, [F.col("n_events").desc(), F.col("user_id")], 10)
 
@@ -300,13 +324,13 @@ def q_ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            l_linestatus,
-           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
+           round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_charge,
+           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_quantity) + 1e-9, 6) AS avg_qty,
+           round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_extendedprice) + 1e-9, 6) AS avg_price,
+           round(CAST(sum(CAST(round((l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_discount) + 1e-9, 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -327,9 +351,9 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             money_sum(disc_price).alias("sum_disc_price"),
             money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -339,7 +363,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     """
     SELECT l.l_orderkey AS o_orderkey,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -380,7 +404,7 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name,
            n.n_name,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -512,7 +536,8 @@ def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.spike_id, s.w_start,
            count(*) AS n_events,
            count(DISTINCT e.user_id) AS n_users,
-           round(avg(e.value), 6) AS avg_value
+           round(CAST(sum(CAST(round((e.value) + 1e-9, 4) AS DECIMAL(24,4)))
+                      AS DOUBLE) / count(e.value) + 1e-9, 6) AS avg_value
     FROM spikes s JOIN events e
       ON e.ts >= s.w_start AND e.ts < s.w_end
     GROUP BY s.spike_id, s.w_start
@@ -538,7 +563,7 @@ def q_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
         )
         .orderBy("spike_id")
     )
@@ -650,7 +675,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outer_join_order_counts",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(CAST(coalesce(sum(CAST(round((o.o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 0) AS DOUBLE), 2) AS total_spend
+           round(CAST(coalesce(sum(CAST(round((o.o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 0) AS DOUBLE) + 1e-9, 2) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -671,7 +696,8 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 F.lit(0).cast("decimal(24,4)"),
-            ).cast("double"),
+            ).cast("double")
+            + F.lit(1e-9),
             2,
         ).alias("total_spend"),
     )
@@ -716,7 +742,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_qty
+           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -934,7 +960,7 @@ def q_subqueries_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1088,7 +1114,7 @@ def q_window_frames_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, win_start,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value
     FROM starts
     WHERE ts >= win_start AND ts < win_start + INTERVAL '2 hours'
     GROUP BY event_type, win_start
@@ -1106,7 +1132,7 @@ def q_ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
         )
     )
 
@@ -1243,7 +1269,7 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(100.0 * CAST(sum(CAST(round((CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
                                   ELSE 0 END) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE)
-                 / CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 6) AS promo_pct,
+                 / CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 6) AS promo_pct,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -1266,7 +1292,9 @@ def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.round(c + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
 
     return j.agg(
-        F.round(100.0 * exact(promo) / exact(rev), 6).alias("promo_pct"),
+        F.round(
+            100.0 * exact(promo) / exact(rev) + F.lit(1e-9), 6
+        ).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1345,7 +1373,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive",
     """
-    SELECT round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
@@ -1464,7 +1492,7 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1509,7 +1537,7 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1600,7 +1628,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_year,
            round(CAST(sum(CAST(round((CASE WHEN supp_nation = 'NATION_0'
                                       THEN volume ELSE 0 END) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE)
-                 / CAST(sum(CAST(round((volume) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 6) AS mkt_share,
+                 / CAST(sum(CAST(round((volume) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 6) AS mkt_share,
            count(*) AS n_items
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
@@ -1650,7 +1678,8 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_year").agg(
         F.round(
             exact(F.when(F.col("supp_nation") == "NATION_0", volume).otherwise(F.lit(0.0)))
-            / exact(volume),
+            / exact(volume)
+            + F.lit(1e-9),
             6,
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
@@ -1662,7 +1691,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS nation,
            year(o.o_orderdate) AS o_year,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_profit
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1735,7 +1764,7 @@ def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS total_revenue
+             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1847,7 +1876,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE EXISTS (
       SELECT 1 FROM (
         SELECT l.l_suppkey,
-               round(CAST(sum(CAST(round((l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS qty
+               round(CAST(sum(CAST(round((l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_name LIKE 'red%'
         GROUP BY l.l_suppkey
@@ -2027,7 +2056,7 @@ def q_map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
       SELECT l_partkey,
-             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE), 2) AS part_value
+             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS part_value
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value
@@ -2059,7 +2088,7 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('day', ts) AS day,
            time_bucket(INTERVAL '2 hours', ts) AS bucket_2h,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value,
            max(value) AS max_value
     FROM events
     GROUP BY ROLLUP (day, bucket_2h)
@@ -2083,7 +2112,7 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "bucket_2h")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
             F.max("value").alias("max_value"),
         )
         .orderBy("day", "bucket_2h")
@@ -2663,11 +2692,11 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           round(CAST(min(r4) AS DOUBLE), 4) AS min_value,
-           round(CAST(max(r4) AS DOUBLE), 4) AS max_value,
+           round(CAST(min(r4) AS DOUBLE) + 1e-9, 4) AS min_value,
+           round(CAST(max(r4) AS DOUBLE) + 1e-9, 4) AS max_value,
            count(*) AS n_samples,
-           round(CAST(sum(r4) AS DOUBLE), 2) AS sum_value,
-           round(CAST(sum(r4) AS DOUBLE) / count(*), 6) AS avg_value
+           round(CAST(sum(r4) AS DOUBLE) + 1e-9, 2) AS sum_value,
+           round(CAST(sum(r4) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_value
     FROM r GROUP BY event_type
     """,
 )
@@ -2691,12 +2720,19 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "event_type",
-        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
-        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
+        F.round(F.col("min_value").cast("double") + F.lit(1e-9), 4).alias(
+            "min_value"
+        ),
+        F.round(F.col("max_value").cast("double") + F.lit(1e-9), 4).alias(
+            "max_value"
+        ),
         "n_samples",
-        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("sum_value").cast("double") + F.lit(1e-9), 2).alias(
+            "sum_value"
+        ),
         F.round(
-            F.col("sum_value").cast("double") / F.col("n_samples"), 6
+            F.col("sum_value").cast("double") / F.col("n_samples") + F.lit(1e-9),
+            6,
         ).alias("avg_value"),
     )
 
@@ -2998,7 +3034,8 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            {money_sum_sql("increase").replace(", 2)", ", 4)")} AS total_increase,
            count(increase) AS n_increments,
            round({money_sum_sql("increase").replace(", 2)", ", 4)")}
-                 / nullif(date_diff('second', min(ts), max(ts)), 0), 6)
+                 / nullif(date_diff('second', min(ts), max(ts)), 0)
+                 + 1e-9, 6)
              AS rate_per_sec
     FROM inc GROUP BY user_id
     """,
@@ -3028,14 +3065,17 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.round(
         F.sum(
             F.round(F.col("increase") + F.lit(1e-9), 4).cast("decimal(24,4)")
-        ).cast("double"),
+        ).cast("double")
+        + F.lit(1e-9),
         4,
     )
     span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
     return inc.groupBy("user_id").agg(
         total.alias("total_increase"),
         F.count("increase").alias("n_increments"),
-        F.round(total / F.nullif(span.cast("long"), F.lit(0)), 6).alias(
+        F.round(
+            total / F.nullif(span.cast("long"), F.lit(0)) + F.lit(1e-9), 6
+        ).alias(
             "rate_per_sec"
         ),
     )
@@ -3182,7 +3222,8 @@ def q_agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END) AS downtime_s,
            round(1.0 - (CAST(sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END)
                              AS DOUBLE)
-                        / nullif(date_diff('second', min(ts), max(ts)), 0)), 6)
+                        / nullif(date_diff('second', min(ts), max(ts)), 0))
+                 + 1e-9, 6)
              AS uptime_ratio
     FROM g GROUP BY user_id
     """,
@@ -3218,7 +3259,8 @@ def q_ts_uptime_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         downtime.alias("downtime_s"),
         F.round(
             F.lit(1.0)
-            - (downtime.cast("double") / F.nullif(span.cast("long"), F.lit(0))),
+            - (downtime.cast("double") / F.nullif(span.cast("long"), F.lit(0)))
+            + F.lit(1e-9),
             6,
         ).alias("uptime_ratio"),
     )
@@ -3398,7 +3440,7 @@ def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value,
            round(CAST(sum(CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)))
-                      AS DOUBLE), 4) AS sum_4dp,
+                      AS DOUBLE) + 1e-9, 4) AS sum_4dp,
            max(CASE WHEN rn = 1 THEN value END) AS last_value
     FROM o GROUP BY user_id
     """,
@@ -3454,7 +3496,7 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events": [n],
                 "min_value": [mn],
                 "max_value": [mx],
-                "sum_4dp": [round(cents / 10000.0, 4)],
+                "sum_4dp": [round(cents / 10000.0 + 1e-9, 4)],
                 "last_value": [lastv],
             }
         )
@@ -3496,9 +3538,9 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
              AS n_null_safe_eq,
            count(DISTINCT pr) AS n_distinct_pr,
-           round(avg(p), 6) AS avg_skipnull,
+           round(CAST(sum(CAST(round((p) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(p) + 1e-9, 6) AS avg_skipnull,
            round(CAST(sum(CAST(round(coalesce(p, 0) + 1e-9, 4)
-                               AS DECIMAL(24,4))) AS DOUBLE), 2)
+                               AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
              AS sum_coalesced
     FROM o
     """,
@@ -3527,7 +3569,7 @@ def q_null_semantics_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pr").eqNullSafe(F.lit(None)), 1).otherwise(0)
         ).alias("n_null_safe_eq"),
         F.count_distinct(F.col("pr")).alias("n_distinct_pr"),
-        F.round(F.avg("p"), 6).alias("avg_skipnull"),
+        exact_avg(F.col("p")).alias("avg_skipnull"),
         money_sum(F.coalesce(F.col("p"), F.lit(0))).alias("sum_coalesced"),
     )
 
@@ -3602,4 +3644,61 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "events_dau_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    span AS (
+      SELECT du.day + (7 - 1 - k.k) * INTERVAL 1 DAY AS wday, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range(7)) AS k) k
+    ),
+    wau AS (
+      SELECT CAST(wday AS DATE) AS day, count(DISTINCT user_id) AS wau
+      FROM span GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau + 1e-9, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics: daily active users and trailing-7-day active
+    users (WAU ending each day) + the DAU/WAU stickiness ratio. The
+    (day, user) set is deduped ONCE (the only big shuffle), then each
+    active day fans out to the 7 window-end days it contributes to —
+    explode-by-7 on the already-tiny distinct set, never on raw
+    events. Exact distincts; at 100 TB swap the WAU distinct for HLL
+    sketch union per day. Only days with a DAU row are reported (the
+    join drops window-end days with no activity of their own)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    span = du.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda k: F.date_add(F.col("day"), 6 - k),
+            )
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = span.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau") + F.lit(1e-9), 6
+        ).alias("stickiness"),
     )

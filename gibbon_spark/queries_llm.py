@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from gibbon_spark.functions import text as tx
 from gibbon_spark.operators import dedup, similarity
-from gibbon_spark.queries import _prep, query
+from gibbon_spark.queries import _prep, exact_avg, query
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -516,7 +516,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT min(value) AS min_value,
            max(value) AS max_value,
            count(*) AS n_samples,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value,
            max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch
     FROM events
     """,
@@ -536,7 +536,7 @@ def q_gorilla_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.count(F.lit(1)).alias("n_samples"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        exact_avg(F.col("value")).alias("avg_value"),
         F.max("ts").alias("max_ts_epoch"),
     )
 
@@ -613,7 +613,8 @@ def _pipeline_oracle_sql() -> str:
     SELECT d.lang,
            count(*) AS n_docs,
            round(avg(q.n_tok), 6) AS avg_tokens,
-           round(avg(q.quality_score), 6) AS avg_quality
+           round(CAST(sum(CAST(q.quality_score AS DECIMAL(24,6))) AS DOUBLE)
+                 / count(q.quality_score) + 1e-9, 6) AS avg_quality
     FROM documents d
     JOIN q ON d.doc_id = q.doc_id
     WHERE q.quality_score >= 0.5
@@ -645,7 +646,8 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.sum(F.col("quality_score").cast("decimal(24,6)")).cast("double")
+                / F.count("quality_score") + F.lit(1e-9), 6).alias("avg_quality"),
     )
 
 
@@ -1659,7 +1661,7 @@ def _bm25_sql() -> str:
     ),
     scored AS (
       SELECT doc_id,
-             round(CAST(({score_terms}) AS DOUBLE), 4) AS score,
+             round(CAST(({score_terms}) AS DOUBLE) + 1e-9, 4) AS score,
              {match_terms} AS n_terms_matched
       FROM tf CROSS JOIN stats
     )
@@ -1737,7 +1739,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = tf.crossJoin(F.broadcast(stats)).select(
         "doc_id",
-        F.round(score.cast("double"), 4).alias("score"),
+        F.round(score.cast("double") + F.lit(1e-9), 4).alias("score"),
         matched.alias("n_terms_matched"),
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
