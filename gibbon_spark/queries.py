@@ -3702,3 +3702,33 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("wau") + F.lit(1e-9), 6
         ).alias("stickiness"),
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n_samples,
+           round(CAST(sum(CAST(round((value) + 1e-9, 4) AS DECIMAL(24,4)))
+                      AS DOUBLE) / count(value) + 1e-9, 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: mean level per (day-of-week,
+    hour-of-day) cell — the weekly-rhythm profile that monitoring
+    baselines (and anomaly thresholds) are built from. Pure map-side
+    bucketing + one aggregation; 168 output cells regardless of input
+    size, so the shuffle is trivially small at any scale. Day-of-week
+    conventions differ (Spark 1=Sunday, DuckDB 0=Sunday); the oracle
+    adds 1 to match Spark's numbering."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return events.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        exact_avg(F.col("value")).alias("avg_value"),
+    )
