@@ -3732,3 +3732,101 @@ def q_ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samples"),
         exact_avg(F.col("value")).alias("avg_value"),
     )
+
+
+@query(
+    "percentiles_by_group",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.25) + 1e-9, 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.5) + 1e-9, 6) AS median,
+           round(quantile_cont(o_totalprice, 0.95) + 1e-9, 6) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles PER GROUP (the global variant is
+    percentiles_prices). Spark's percentile() is a holistic aggregate:
+    each group's values collect on one reducer — fine for bounded
+    group counts like order priorities; for high-cardinality or
+    skewed keys at 100 TB switch to approx_percentile (t-digest,
+    mergeable partials)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)") + F.lit(1e-9), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)") + F.lit(1e-9), 6).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)") + F.lit(1e-9), 6).alias("p95"),
+    )
+
+
+@query(
+    "revenue_concentration",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round((o_totalprice) + 1e-9, 4)
+                           AS DECIMAL(24,4))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(CAST(s AS DECIMAL(24,4))) OVER () AS DOUBLE)
+               AS total
+      FROM spend
+    )
+    SELECT CASE WHEN rn * 10 <= n THEN 'top_10pct'
+                WHEN rn * 2 <= n THEN 'next_40pct'
+                ELSE 'bottom_50pct' END AS cohort,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(s AS DECIMAL(24,4))) AS DOUBLE) / max(total)
+                 + 1e-9, 6) AS revenue_share
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of revenue comes from the
+    top-10% / next-40% / bottom-50% of customers. Per-customer spend
+    is one keyed aggregation (exact decimal sums); the global rank and
+    total ride a single-partition window over the SHRUNK per-customer
+    frame (one row per customer, not per order) — acceptable up to
+    ~100M customers; beyond that replace rank with a quantile cut
+    from approx_percentile. The division happens once per cohort with
+    identical operand doubles on both engines."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
+        )
+        .cast("double")
+        .alias("s")
+    )
+    w_rank = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(F.col("s").cast("decimal(24,4)")).over(w_all)
+        .cast("double")
+        .alias("total"),
+    )
+    cohort = (
+        F.when(F.col("rn") * 10 <= F.col("n"), "top_10pct")
+        .when(F.col("rn") * 2 <= F.col("n"), "next_40pct")
+        .otherwise("bottom_50pct")
+    )
+    return ranked.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(24,4)")).cast("double")
+            / F.max("total")
+            + F.lit(1e-9),
+            6,
+        ).alias("revenue_share"),
+    )
