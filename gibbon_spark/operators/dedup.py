@@ -480,7 +480,15 @@ def connected_components(
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    sym = sym.coalesce(parts).persist()
+    # coalesce can only DOWNSIZE; when the computed width exceeds the
+    # upstream cache's partition count (the 1e9-edge case), pay one
+    # shuffle up front so the first union pass and initial label scan
+    # run at full width too — not just the post-shuffle rounds.
+    if parts > sym.rdd.getNumPartitions():
+        sym = sym.repartition(parts)
+    else:
+        sym = sym.coalesce(parts)
+    sym = sym.persist()
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -67,48 +67,76 @@ def as_timeseries(
 
 
 def _exact_avg(value: str):
-    """Association-order-free mean: exact decimal numerator (4 dp
-    pre-round, +1e-9 half-boundary guard) over the non-null count. A
-    raw double avg() can differ by 1 ulp between Spark's parallel sum
-    and a serial oracle and flip the 6 dp presentation — observed at
-    sf0.1. Decimal partials combine map-side like any sum, so the
-    scale story is unchanged."""
-    return (
+    """Association-order-free mean, emitted ready-to-present: exact
+    decimal numerator (4 dp pre-round, +1e-9 half-boundary guard) over
+    the non-null count, then the SAME +1e-9 nudge and 6 dp round the
+    DuckDB oracle applies — callers must not re-round, or the two
+    engines can land on opposite sides of a half boundary (the tie-flip
+    class commit b83f6d4 eliminated). A raw double avg() can differ by
+    1 ulp between Spark's parallel sum and a serial oracle and flip the
+    6 dp presentation — observed at sf0.1. Decimal partials combine
+    map-side like any sum, so the scale story is unchanged.
+
+    Trade-off (why this is OPT-IN, not the generic contract): the 4 dp
+    pre-round quantizes sub-1e-4 magnitudes (values of 2e-5 average to
+    0) and |sum| >= 1e20 overflows decimal(24,4) to NULL. Fine for the
+    oracle-paired gate queries' 2-dp money data; wrong as a default for
+    a generic library operator, which is why ``summary``/
+    ``summary_by_series``/``resample`` default to plain ``F.avg``.
+    """
+    return F.round(
         F.sum(F.round(F.col(value) + F.lit(1e-9), 4).cast("decimal(24,4)"))
         .cast("double")
         / F.count(value)
+        + F.lit(1e-9),
+        6,
     )
 
 
-def summary(df: DataFrame, *, value: str = "value", ts: str = "ts") -> DataFrame:
+def _avg(value: str, exact: bool):
+    return _exact_avg(value) if exact else F.avg(value)
+
+
+def summary(
+    df: DataFrame, *, value: str = "value", ts: str = "ts", exact_avg: bool = False
+) -> DataFrame:
     """The reference's five aggregates in one pass.
 
     ``csv_to_packed.rs:36-76`` decodes the stream five times, once per
     aggregate; a columnar engine computes all five in a single scan with
     O(1) aggregation state per task (partial aggregates combine map-side,
     so at 100 TB the shuffle moves 5 numbers per task, not rows).
+
+    ``avg_value`` is plain ``avg()`` (the reference's contract,
+    ``csv_to_packed.rs:66-76``); pass ``exact_avg=True`` for the
+    oracle-parity decimal form (see ``_exact_avg`` for the trade-off).
     """
     return df.agg(
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
         F.count(F.lit(1)).alias("n_samples"),
-        _exact_avg(value).alias("avg_value"),
+        _avg(value, exact_avg).alias("avg_value"),
         F.max(ts).alias("max_ts"),
     )
 
 
 def summary_by_series(
-    df: DataFrame, keys: Sequence[str], *, value: str = "value", ts: str = "ts"
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    value: str = "value",
+    ts: str = "ts",
+    exact_avg: bool = False,
 ) -> DataFrame:
     """Per-series scan-aggregate — the reference's caller-side key→stream
     map (SURVEY.md §1.1 item 4) expressed as groupBy. One shuffle on the
     series key; partial aggregation makes it skew-tolerant (AQE splits
-    hot keys)."""
+    hot keys). ``exact_avg`` as in :func:`summary`."""
     return df.groupBy(*keys).agg(
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
         F.count(F.lit(1)).alias("n_samples"),
-        _exact_avg(value).alias("avg_value"),
+        _avg(value, exact_avg).alias("avg_value"),
         F.max(ts).alias("max_ts"),
     )
 
@@ -236,11 +264,13 @@ def resample(
     every: str = "1 hour",
     ts: str = "ts",
     value: str = "value",
+    exact_avg: bool = False,
 ) -> DataFrame:
     """Tumbling-window downsample: per key per window min/max/count/avg.
     This is the canonical TSDB rollup; the tumbling window start is
     computed map-side (pure projection) so the only shuffle is the
-    groupBy, with partial aggregation."""
+    groupBy, with partial aggregation. ``exact_avg`` as in
+    :func:`summary`."""
     win = F.window(F.col(ts), every)
     return (
         df.groupBy(*keys, win.alias("win"))
@@ -248,7 +278,7 @@ def resample(
             F.min(value).alias("min_value"),
             F.max(value).alias("max_value"),
             F.count(F.lit(1)).alias("n_samples"),
-            _exact_avg(value).alias("avg_value"),
+            _avg(value, exact_avg).alias("avg_value"),
         )
         .withColumn("bucket_start", F.col("win").start)
         .drop("win")

@@ -61,25 +61,35 @@ def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-def money_sum(col):
+def money_sum(col, dp: int = 2):
     """Deterministic money-sum: round each row to 4 dp (+1e-9 keeps
     exactly-representable ties off the half boundary, where Spark rounds
     half-up and DuckDB half-even), sum EXACTLY as decimal (order-free),
-    then present as a 2 dp double. Per-row double math is bit-identical
-    across engines, so this is flake-proof where a raw double sum can
-    straddle a rounding boundary by ~1e-7 of parallel reassociation.
-    money_sum_sql is the oracle twin."""
+    then present as a ``dp``-decimal double. Per-row double math is
+    bit-identical across engines, so this is flake-proof where a raw
+    double sum can straddle a rounding boundary by ~1e-7 of parallel
+    reassociation. money_sum_sql is the oracle twin.
+
+    Nudge semantics (deliberate, documented per ADVICE r01): the outer
+    +1e-9 is applied AFTER the sum, so every presented figure is biased
+    up by 1e-9 pre-round, and for NEGATIVE totals a half-boundary value
+    rounds toward zero (round(-10.125+1e-9, 2) → -10.12) where plain
+    HALF_UP gives -10.13. Both engines compute the identical expression,
+    so parity holds; the asymmetry is accepted in exchange for a nudge
+    that is a pure constant (a sign()-conditional nudge would put a
+    branch in every aggregate's hot path for a 1e-9 presentational
+    difference on exactly-half negative cents)."""
     return F.round(
         F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
         + F.lit(1e-9),
-        2,
+        dp,
     )
 
 
-def money_sum_sql(expr: str) -> str:
+def money_sum_sql(expr: str, dp: int = 2) -> str:
     return (
         f"round(CAST(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))) "
-        "AS DOUBLE) + 1e-9, 2)"
+        f"AS DOUBLE) + 1e-9, {dp})"
     )
 
 
@@ -126,9 +136,7 @@ def q_ts_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``examples/csv_to_packed.rs:36-76``): min/max/count/avg over value,
     max over ts. One scan, partial+final hash agg, whole-stage codegen."""
     (events,) = _prep(spark, sf_dir, "events")
-    return ts_ops.summary(events).withColumn(
-        "avg_value", F.round("avg_value", 6)
-    )
+    return ts_ops.summary(events, exact_avg=True)
 
 
 @query(
@@ -149,9 +157,7 @@ def q_ts_summary_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (SURVEY.md §1.1) as a groupBy. Shuffles once on the series
     key with map-side partial aggregation."""
     (events,) = _prep(spark, sf_dir, "events")
-    return ts_ops.summary_by_series(events, ["event_type"]).withColumn(
-        "avg_value", F.round("avg_value", 6)
-    )
+    return ts_ops.summary_by_series(events, ["event_type"], exact_avg=True)
 
 
 @query(
@@ -239,14 +245,14 @@ def q_ts_bucket_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample to hourly per-series stats — canonical TSDB rollup."""
     (events,) = _prep(spark, sf_dir, "events")
-    out = ts_ops.resample(events, ["event_type"], every="1 hour")
+    out = ts_ops.resample(events, ["event_type"], every="1 hour", exact_avg=True)
     return out.select(
         "event_type",
         "bucket_start",
         "min_value",
         "max_value",
         "n_samples",
-        F.round("avg_value", 6).alias("avg_value"),
+        "avg_value",
     )
 
 
@@ -3031,9 +3037,9 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT user_id,
-           {money_sum_sql("increase").replace(", 2)", ", 4)")} AS total_increase,
+           {money_sum_sql("increase", dp=4)} AS total_increase,
            count(increase) AS n_increments,
-           round({money_sum_sql("increase").replace(", 2)", ", 4)")}
+           round({money_sum_sql("increase", dp=4)}
                  / nullif(date_diff('second', min(ts), max(ts)), 0)
                  + 1e-9, 6)
              AS rate_per_sec
