@@ -1,6 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines:
+
+1. the full per-query detail {"metric", "value", "unit", "queries", "sf"}
+   (~4 KB at 145 queries), then
+2. a small (<200 byte) summary {"metric", "value", "unit", "sf",
+   "n_queries"} as the FINAL line.
+
+The driver keeps only a tail of stdout, which truncated the single big
+line mid-object in round 1 ("parsed": null); the final small line always
+survives a 2 KB tail capture.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect, no disk write) — the number measures the distributed
@@ -63,17 +72,30 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], round(time.time() - t0, 4))
 
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
             }
         )
     )
+    # final SMALL line (driver-parseable under tail truncation)
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+    )
+    assert len(summary) < 200, f"summary line grew to {len(summary)} bytes"
+    print(summary)
 
 
 if __name__ == "__main__":

@@ -42,11 +42,18 @@ def double_bits(values: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def bits_to_double(bits: pd.Series) -> pd.Series:
-    """Inverse of :func:`double_bits`."""
-    import numpy as np
+    """Inverse of :func:`double_bits`.
 
-    arr = bits.to_numpy(dtype="int64", na_value=0)
-    doubles = arr.view("float64")
-    out = pd.Series(doubles)
-    out[bits.isna()] = None
-    return out
+    CALLER CONTRACT: the input column must be null-free (``coalesce``
+    nulls away and mask the result instead). Arrow hands a nullable
+    int64 batch to pandas as float64 + NaN, which silently destroys
+    the low bits of any pattern above 2^53 — the round-trip then
+    "almost" works (observed: 9.64 → 9.639999999999418), the worst
+    kind of wrong. This guard turns that silent corruption loud."""
+    if bits.isna().any():
+        raise ValueError(
+            "bits_to_double received nulls; coalesce them away first "
+            "(nullable int64 reaches pandas as float64 and loses bits)"
+        )
+    arr = bits.to_numpy(dtype="int64")
+    return pd.Series(arr.view("float64"))

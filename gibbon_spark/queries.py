@@ -48,7 +48,16 @@ def query(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, SparkQuery]:
-    return dict(_QUERIES)
+    """All registered queries, oracle-backed entries FIRST.
+
+    The driver samples the first N dict entries for its correctness
+    gate; a rows-only (no-oracle) query in that window burns a slot on
+    an ``err: no_oracle`` row even though it is rows-only by design.
+    Emitting oracle-backed queries first keeps the sampled window
+    fully verifiable regardless of definition order in this file."""
+    backed = {k: v for k, v in _QUERIES.items() if k in _ORACLES}
+    rows_only = {k: v for k, v in _QUERIES.items() if k not in _ORACLES}
+    return {**backed, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -201,6 +210,62 @@ def q_ts_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _prep(spark, sf_dir, "events")
     out = ts_ops.with_delta_of_delta(events, ["user_id"], tiebreak=["event_id"])
     return out.select("event_id", "user_id", "delta", "dod")
+
+
+@query(
+    "ts_dod_class_histogram",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS delta
+      FROM events
+    ),
+    dd AS (
+      SELECT delta - lag(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dod
+      FROM d
+    )
+    SELECT CASE WHEN dod IS NULL THEN 'head'
+                WHEN dod = 0 THEN 'zero:1b'
+                WHEN dod BETWEEN -63 AND 64 THEN 'small:7b'
+                WHEN dod BETWEEN -255 AND 256 THEN 'mid:9b'
+                WHEN dod BETWEEN -2047 AND 2048 THEN 'large:12b'
+                ELSE 'wide:32b' END AS dod_class,
+           count(*) AS n,
+           count(CASE WHEN dod < -2047 THEN 1 END) AS n_ref_garbles
+    FROM dd
+    GROUP BY 1
+    """,
+)
+def q_ts_dod_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of delta-of-delta values by Gorilla encoding class
+    (``timestamp_stream.rs:42-67``: '0' / '10'+7b / '110'+9b /
+    '1110'+12b / '1111'+32b) — the distribution that determines the
+    compression ratio, plus ``n_ref_garbles``: rows in the 32-bit
+    class with dod < −2047, where the reference's UNSIGNED 32-bit
+    decode (``timestamp_stream.rs:100-103``, bias 0) would garble its
+    own stream while this codec sign-extends and round-trips
+    (``codec/gorilla.py`` module docstring "DOCUMENTED DIVERGENCE";
+    golden pin: tests/test_gorilla_codec.py::
+    test_ts_32bit_negative_dod_sign_extension_divergence). One window
+    pass + one grouped aggregate, both keyed on the series."""
+    (events,) = _prep(spark, sf_dir, "events")
+    dd = ts_ops.with_delta_of_delta(events, ["user_id"], tiebreak=["event_id"])
+    dod = F.col("dod")
+    cls = (
+        F.when(dod.isNull(), "head")
+        .when(dod == 0, "zero:1b")
+        .when((dod >= -63) & (dod <= 64), "small:7b")
+        .when((dod >= -255) & (dod <= 256), "mid:9b")
+        .when((dod >= -2047) & (dod <= 2048), "large:12b")
+        .otherwise("wide:32b")
+    )
+    return dd.groupBy(cls.alias("dod_class")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(dod < -2047, F.lit(1))).alias("n_ref_garbles"),
+    )
 
 
 @query(
@@ -745,6 +810,41 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_check",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL estimate made oracle-checkable: Spark computes BOTH the
+    exact distinct count and the HLL++ sketch (rsd=0.01) and emits the
+    invariant ``|approx - exact| / exact <= 0.05`` as a boolean; the
+    oracle emits the exact counts plus literal TRUE. Hash equality then
+    proves the sketch landed within 5x its configured error — the
+    correctness contract an approx aggregate actually offers. (The raw
+    estimate itself stays rows-only in agg_approx_distinct: HLL values
+    are implementation-specific.)"""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        (
+            F.abs(F.col("_approx") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
+    )
+
+
+@query(
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1026,6 +1126,49 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentiles_approx_check",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4) AS exact_median,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile made oracle-checkable via a RANK bracket, not a
+    value tolerance: the sketch (accuracy 10000 → rank error <=
+    n/10000 rows) must return a value between the exact p40 and p60 —
+    a bound it beats by orders of magnitude, yet one that never flakes
+    on gappy value distributions (approx returns an actual data value
+    while exact interpolates, so a value-relative tolerance trips on
+    sparse regions). Oracle emits the exact median + literal TRUE.
+    Complements percentiles_approx (rows-only raw estimates)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.expr("percentile(o_totalprice, 0.5)") + F.lit(1e-9), 4
+        ).alias("exact_median"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("_p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("_p60"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "_approx"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_median",
+        (
+            (F.col("_approx") >= F.col("_p40"))
+            & (F.col("_approx") <= F.col("_p60"))
+        ).alias("within_tol"),
+    )
+
+
+@query(
     "string_agg_statuses",
     """
     SELECT o_orderpriority,
@@ -1059,6 +1202,47 @@ def q_ts_xor_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _prep(spark, sf_dir, "events")
     out = ts_ops.with_value_xor(events, ["user_id"], tiebreak=["event_id"])
     return out.select("event_id", "user_id", "value_xor", "xor_leading_zeros")
+
+
+@query(
+    "ts_xor_roundtrip_check",
+    """
+    SELECT event_id, user_id, TRUE AS roundtrip_ok
+    FROM events
+    """,
+)
+def q_ts_xor_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XOR codec's decode direction made oracle-checkable per row:
+    reconstruct each value from ``xor ⊕ bits(prev)`` through the
+    bits→double reinterpret and assert bit-exact equality with the
+    original (``double_stream.rs:42`` — XOR with the previous value is
+    self-inverse, which is exactly why the codec needs no decoder
+    state beyond the prior value). First row per series (no prev) is
+    vacuously OK. The oracle pins row identity + literal TRUE, so a
+    single corrupted reconstruction anywhere flips the hash. This is
+    the invariant twin of the rows-only ts_xor_bits."""
+    from gibbon_spark.functions.bits import bits_to_double, double_bits
+
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = events.withColumn("_bits", double_bits(F.col("value")))
+    prev = F.lag("_bits").over(w)
+    out = out.withColumn("_xor", F.col("_bits").bitwiseXOR(prev)).withColumn(
+        "_prev", prev
+    )
+    # coalesce BEFORE the UDF: a nullable int64 batch reaches pandas as
+    # float64 and silently loses low bits past 2^53 (see bits_to_double's
+    # guard); first-row nulls are masked out by the when() below instead.
+    recon = bits_to_double(
+        F.coalesce(F.col("_xor").bitwiseXOR(F.col("_prev")), F.lit(0))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("_xor").isNull(), F.lit(True))
+        .otherwise(recon == F.col("value"))
+        .alias("roundtrip_ok"),
+    )
 
 
 # =========================================================================
@@ -2635,6 +2819,76 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_data_audit",
+    """
+    WITH batched AS (
+      SELECT event_id, event_type, ts,
+             CAST(floor(event_id / 1000) AS BIGINT) AS trig
+      FROM events
+    ),
+    trig_max AS (
+      SELECT trig, max(ts) AS trig_max_ts FROM batched GROUP BY trig
+    ),
+    wm AS (
+      SELECT trig,
+             max(trig_max_ts) OVER (ORDER BY trig
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - INTERVAL 10 MINUTE AS watermark
+      FROM trig_max
+    )
+    SELECT b.event_type,
+           count(*) AS n_events,
+           count(CASE WHEN w.watermark IS NOT NULL AND b.ts < w.watermark
+                      THEN 1 END) AS n_dropped,
+           count(CASE WHEN w.watermark IS NULL OR b.ts >= w.watermark
+                      THEN 1 END) AS n_kept
+    FROM batched b JOIN wm w ON b.trig = w.trig
+    GROUP BY b.event_type
+    """,
+)
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE real semantic divergence from the reference, quantified
+    (SURVEY.md §2.2): gibbon happily encodes out-of-order points as
+    negative dod (``time_and_value_stream.rs:86``), while a Structured
+    Streaming pipeline with a watermark DROPS events older than
+    ``max(event time seen in prior triggers) − delay``. This audit
+    replays that rule in batch — triggers modeled as 1000-row
+    arrival-order micro-batches (event_id = arrival order), watermark
+    for trigger k = running max of prior triggers' max event time
+    minus 10 min — and counts, per event type, exactly which rows a
+    10-minute watermark would discard vs the batch/gibbon semantics.
+    The oracle recomputes the same model in SQL, so the divergence
+    inventory is value-checked, not hand-waved.
+
+    Scale shape: one keyed aggregate to a trigger-count-sized frame, a
+    running max over that TINY frame (one row per trigger), and a
+    broadcast join back — no whole-data window, no per-row state."""
+    (events,) = _prep(spark, sf_dir, "events")
+    batched = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("event_id") / 1000).cast("long").alias("trig"),
+    )
+    trig_max = batched.groupBy("trig").agg(F.max("ts").alias("trig_max_ts"))
+    w_prior = Window.orderBy("trig").rowsBetween(Window.unboundedPreceding, -1)
+    wm = trig_max.select(
+        "trig",
+        (
+            F.max("trig_max_ts").over(w_prior)
+            - F.expr("INTERVAL 10 MINUTES")
+        ).alias("watermark"),
+    )
+    joined = batched.join(F.broadcast(wm), "trig")
+    dropped = F.col("watermark").isNotNull() & (F.col("ts") < F.col("watermark"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(dropped, F.lit(1))).alias("n_dropped"),
+        F.count(F.when(~dropped, F.lit(1))).alias("n_kept"),
+    )
+
+
+@query(
     "ts_anomaly_zscore",
     """
     WITH r AS (
@@ -3769,6 +4023,38 @@ def q_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentiles_by_group_approx",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           quantile_disc(o_totalprice, 0.5) AS median_price,
+           quantile_disc(o_totalprice, 0.95) AS p95_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_percentiles_by_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT grouped-percentile path for unbounded key
+    cardinality: approx_percentile's Greenwald-Khanna sketch is a
+    mergeable partial aggregate (map-side combine, one shuffle of
+    O(sketch) state per key — no per-group holistic value collection),
+    so a high-cardinality key like o_custkey is safe where
+    percentiles_by_group's exact percentile() would put every group's
+    full value list on one reducer. Oracle-EXACT, not invariant-based:
+    GK with accuracy 10000 is provably exact below 10000 values per
+    group, and both engines take the lower-rank element (verified
+    convention match vs DuckDB quantile_disc), so per-customer order
+    prices hash bit-for-bit. percentiles_by_group stays as the
+    bounded-key exact-interpolation twin."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_price"),
+    )
+
+
+@query(
     "revenue_concentration",
     f"""
     WITH spend AS (
@@ -3797,13 +4083,26 @@ def q_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: what share of revenue comes from the
-    top-10% / next-40% / bottom-50% of customers. Per-customer spend
-    is one keyed aggregation (exact decimal sums); the global rank and
-    total ride a single-partition window over the SHRUNK per-customer
-    frame (one row per customer, not per order) — acceptable up to
-    ~100M customers; beyond that replace rank with a quantile cut
-    from approx_percentile. The division happens once per cohort with
-    identical operand doubles on both engines."""
+    top-10% / next-40% / bottom-50% of customers, with the SAME exact
+    rank semantics as the oracle's global row_number but NO
+    single-partition window anywhere in the plan (r01 VERDICT #5):
+
+    - global rank = TWO-LEVEL rank: ``repartitionByRange`` on
+      (s desc, custkey) splits the per-customer frame into ordered
+      range partitions; ``row_number`` runs per range partition
+      (bounded n/P rows each), and each partition's global offset
+      comes from a P-row count table joined back by broadcast —
+      ``rank = offset + local_rank`` reproduces the global
+      ``row_number`` exactly because range partitions are totally
+      ordered between themselves.
+    - the global count/total that the old plan computed with
+      ``count/sum OVER ()`` (also a whole-frame window) now come from
+      a 1-row scalar aggregate broadcast-joined on a constant key — a
+      broadcast hash join, not a nested loop.
+
+    Per-customer spend stays one keyed aggregation with exact decimal
+    sums; the cohort division happens once per cohort with identical
+    operand doubles on both engines."""
     (orders,) = _prep(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
@@ -3812,15 +4111,39 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s")
     )
-    w_rank = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
-    w_all = Window.partitionBy()
-    ranked = spend.select(
-        "s",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum(F.col("s").cast("decimal(24,4)")).over(w_all)
-        .cast("double")
-        .alias("total"),
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # local ranks and partition offsets both read this exchange; the
+    # identical subplan becomes a ReusedExchange, so both sides see the
+    # same range boundaries (and the range sampler is deterministic on
+    # deterministic input regardless).
+    by_range = spend.repartitionByRange(
+        n_parts, F.desc("s"), F.asc("o_custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("s"), F.asc("o_custkey"))
+    local = by_range.withColumn("_lrn", F.row_number().over(w_local))
+    # P rows: per-range-partition count + exact-decimal revenue. The
+    # cumulative offset AND the global n/total all ride windows over
+    # these P rows (tiny by construction), so the per-customer frame
+    # needs exactly ONE broadcast hash join on _pid — no constant-key
+    # join (which Catalyst folds to a nested loop) and no whole-frame
+    # window over the data.
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all_p = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        by_range.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("s").cast("decimal(24,4)")).alias("_ssum"),
+        )
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .withColumn("n", F.sum("_cnt").over(w_all_p))
+        .withColumn("total", F.sum("_ssum").over(w_all_p).cast("double"))
+        .select("_pid", "_off", "n", "total")
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "rn", F.col("_off") + F.col("_lrn")
     )
     cohort = (
         F.when(F.col("rn") * 10 <= F.col("n"), "top_10pct")
