@@ -17,10 +17,13 @@ MinHash variant: "min of k independent hashes", taking the lexicographic
 min of the hex digest per seed — any total order over a uniform hash
 family yields the classic unbiased Jaccard estimator.
 
-Scale notes: the shingle inverted index (explode → join on shingle) is
-quadratic in hot shingles and exists for exactness at test SF; the LSH
-band join shuffles each doc k/r times by band key and meets only true
-candidates — that is the operator to run at 100 TB.
+Scale notes: exact Jaccard runs through PREFIX FILTERING
+(:func:`jaccard_pairs_prefix` — lossless, hot shingles structurally
+excluded from the join index); the naive inverted-index join
+(:func:`jaccard_pairs`) is kept only as the semantics reference and is
+quadratic in hot shingles. The LSH band join shuffles each doc k/r
+times by band key and meets only true candidates — that is the
+operator to run when approximate candidates are acceptable at 100 TB.
 """
 
 from __future__ import annotations
@@ -112,6 +115,94 @@ def shingle_table(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING — the
+    lossless scale path (AllPairs/PPJoin family, Bayardo et al. WWW'07;
+    Xiao et al. WWW'08).
+
+    Order every doc's shingles by global document frequency (rarest
+    first, shingle text as tiebreak). For Jaccard ≥ t, a pair must share
+    ≥ ⌈t·|A|⌉ shingles, so the smallest shared shingle (in that global
+    order) sits within the first ``|A| − ⌈t·|A|⌉ + 1`` shingles of BOTH
+    docs — index only those prefixes and no qualifying pair is lost.
+    The boilerplate shingle that detonates the naive inverted-index
+    join ("all rights reserved …", df ≈ corpus size) sorts LAST and
+    never enters the index, so hot-key quadratic blowup is structurally
+    impossible unless a doc consists mostly of boilerplate (and then
+    its prefix is still ≤ (1−t)·|doc| rows). Candidates then get exact
+    |∩| from the full inverted index restricted to candidate pairs —
+    every join keyed, no block replication. Results are IDENTICAL to
+    the naive all-pairs join; only the plan changes.
+
+    The size-ratio prune (t·|A| ≤ |B| ≤ |A|/t, applied inside the
+    candidate join) is also exact: |∩| ≤ min, |∪| ≥ max, so
+    J ≤ min/max < t for any pair outside the band.
+    """
+    t = float(threshold)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_pos = Window.partitionBy("id").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("id")
+    # the −1e-9 keeps float ceil() from overshooting the exact product
+    # (ceil(0.7·20) must be 14, not 15) — overshoot would SHORTEN the
+    # prefix and lose pairs; undershoot only widens it (still lossless).
+    min_overlap = F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("pos") <= F.col("n_sh") - min_overlap + 1)
+        .select("id", "shingle", "n_sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.ceil(
+                    F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                    - F.lit(1e-9)
+                )
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    # sizes ride along from the prefix join — no separate size-table joins
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("_sh"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("_sh"))
+    out = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "_sh"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,
@@ -120,11 +211,13 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle — the
+    NAIVE inverted-index join, kept as the semantics reference.
 
-    Inverted-index join: |intersection| from the shingle self-join,
-    |union| = |A|+|B|−|∩|. Exact but explodes on hot shingles — at scale
-    use :func:`minhash_lsh_pairs` to generate candidates first.
+    Explodes on hot shingles (quadratic in the hottest posting list);
+    use :func:`jaccard_pairs_prefix` for the same exact results with a
+    prefix-filtered index, or :func:`minhash_lsh_pairs` when
+    approximate candidates are acceptable.
     """
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -209,9 +209,103 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Near-duplicate embedding pairs (cosine ≥ threshold)."""
+    """Near-duplicate embedding pairs (cosine ≥ threshold), EXACT."""
     return pairwise_cosine_pairs(
         embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dims: int = 64,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at scale: banded hyperplane-LSH candidates + exact
+    cosine rerank. Semantics: a pair is emitted iff it (a) shares at
+    least one ``band_bits``-wide band of the 16-bit hyperplane code AND
+    (b) has exact cosine ≥ threshold after rerank.
+
+    This is NOT result-identical to the exact all-pairs join
+    (:func:`pairwise_cosine_pairs`): candidate recall for a pair at
+    angle θ is ``1 − (1 − p^r)^b`` with ``p = 1 − θ/π``. No banding
+    fixes that at low thresholds — at cos 0.4, p ≈ 0.63, so a 4×4-bit
+    banding recalls ~50% of boundary pairs while 1-bit bands put half
+    the corpus in every bucket (candidates ≥ all-pairs). Sub-quadratic
+    exact threshold-join on dense random vectors is the orthogonal-
+    vectors problem — conjectured impossible in general — which is why
+    production near-dup pipelines run LSH semantics and thresholds
+    ≥ 0.8 (p ≥ 0.85, recall 0.93+ at this banding). The md5-derived
+    planes make the candidate step deterministic and SQL-replayable,
+    so the DuckDB oracle reproduces these semantics EXACTLY — the
+    parity check is still bit-for-bit, it just checks the LSH
+    contract, not the all-pairs one.
+
+    Plan shape: one map (bucket GEMM), one keyed self-join on
+    (band, band-value), dedup, Arrow-batched rerank — no block
+    replication, no broadcast of the corpus.
+    """
+    n_bands = NUM_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    c = with_lsh_bucket(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        vec_col="vec",
+        dims=dims,
+    )
+    banded = c.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("bucket"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["vec_a"].to_numpy()).astype("float64")
+            B = np.stack(pdf["vec_b"].to_numpy()).astype("float64")
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            sims = np.einsum("ij,ij->i", A, B) / (na * nb)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine_sim": sims}
+            )
+
+    out = cand.mapInPandas(score, _PAIR_SCHEMA)
+    return out.withColumn("cosine_sim", F.round("cosine_sim", 6)).filter(
+        F.col("cosine_sim") >= threshold
     )
 
 

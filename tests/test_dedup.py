@@ -47,6 +47,48 @@ def test_jaccard_finds_near_dup_pair(spark):
     assert pairs[(0, 1)] > 0.7  # case diff at shingle level keeps it below 1.0
 
 
+def test_jaccard_prefix_equals_naive(spark):
+    """The prefix-filtered join must be LOSSLESS: identical pairs and
+    values to the naive inverted-index join, at several thresholds."""
+    docs = _docs_df(spark)
+    for t in (0.3, 0.5, 0.7):
+        naive = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}: {pref} != {naive}"
+
+
+def test_jaccard_prefix_hot_shingle_excluded(spark):
+    """A boilerplate shingle shared by every doc must not create
+    candidates between otherwise-unrelated docs: the prefix index
+    ranks it last (max df), so disjoint-content docs never meet."""
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c unique{i}d {boiler}")
+        for i in range(20)
+    ]
+    # one true near-dup pair on top of the boilerplate corpus
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert out == naive
+    assert (100, 101) in out
+    assert all(a >= 100 for a, _ in out)  # no boilerplate-only pairs
+
+
 def test_minhash_lsh_finds_near_dup_pair(spark):
     pairs = {
         (r.id_a, r.id_b): r.est_jaccard

@@ -109,6 +109,33 @@ def test_ts_int_all_steps_golden():
     ]
 
 
+def test_ts_32bit_negative_dod_sign_extension_divergence():
+    """Pin the DOCUMENTED DIVERGENCE from the reference (codec/gorilla.py
+    module docstring; surfaced per-dataset by the registered query
+    ts_dod_class_histogram.n_ref_garbles): a dod < −2047 encodes as the
+    low 32 bits of its two's complement ('1111' class), and we DECODE it
+    sign-extended, so the stream round-trips. The reference reads the
+    same 32 bits as UNSIGNED with bias 0 (timestamp_stream.rs:100-103),
+    reconstructing dod + 2^32 — off by exactly 4294967296 s — and
+    garbles every subsequent timestamp of its own stream. The scenario
+    is real: a 2-hour block header gap minus the cadence exceeds 2047 s
+    whenever a series samples slower than ~every 2 s across a block
+    boundary."""
+    # cadence 3600 s, then one short 100 s delta: dod = -3500 < -2047
+    ts = [0, 3600, 7200, 7300]
+    assert _roundtrip_ts(ts) == ts  # sign-extended decode round-trips
+
+    # what the reference's unsigned decode would reconstruct: the same
+    # 32 encoded bits read with bias 0 give dod + 2^32
+    dod = -3500
+    encoded_32 = dod & 0xFFFFFFFF
+    assert encoded_32 == dod + (1 << 32)
+    ref_delta = (7300 - 7200) + (1 << 32) - (1 << 32)  # our decode: 100
+    ref_garbled_delta = (7200 - 3600) + encoded_32  # reference: +2^32-3500
+    assert ref_delta == 100
+    assert ref_garbled_delta == 3600 + dod + (1 << 32)  # ≠ 100: garbled
+
+
 def test_ts_bucket_boundaries_roundtrip():
     # dod at every bucket edge (FIXTURES.md F2); base 5000 keeps the
     # running delta positive so timestamps stay in u64 range

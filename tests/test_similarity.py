@@ -71,6 +71,27 @@ def test_neardup_threshold(spark, embeddings):
     assert all(r.id_a < r.id_b for r in out)
 
 
+def test_lsh_neardup_subset_of_exact(spark, embeddings):
+    """LSH-candidate near-dup must be a SUBSET of the exact all-pairs
+    result (rerank is exact, candidates can only miss, never invent),
+    with identical cosine values on the shared pairs, and must find a
+    non-trivial fraction of them on this corpus."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_neardup_pairs(
+            embeddings, threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.lsh_neardup_pairs(embeddings, threshold=0.4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(abs(lsh[p] - exact[p]) < 1e-9 for p in lsh)
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3
+
+
 def test_ivf_recall_vs_brute_force(spark, embeddings):
     """IVF with nprobe=4/16 scores ~25% of the corpus; on this
     random/near-orthogonal data k-means lists are weak, but recall must
