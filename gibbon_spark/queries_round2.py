@@ -1,0 +1,556 @@
+"""Round-2 registry additions — incremental-maintenance, statistics,
+indexing, drift, streaming-join, and semantic-dedup operators.
+
+Same contract as :mod:`gibbon_spark.queries`: every entry pairs a Spark
+DataFrame plan with a DuckDB oracle that replays the identical
+arithmetic (decimal-exact sums, +1e-9 half-boundary nudge, identical
+aliases), so the driver's value-hash compare is deterministic at any
+parallelism.
+
+Reference scope note: the reference (johshoff/gibbon) is a time-series
+codec library (``src/timestamp_stream.rs``, ``src/double_stream.rs``);
+none of these operators exist there. They are part of the requested
+engine surface beyond the reference — SURVEY.md §2.2 categories
+(aggregations, streaming, LLM-pipeline dedup/similarity/text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gibbon_spark.functions import text as tx
+from gibbon_spark.queries import (
+    _STREAM_SINK_SEQ,
+    _events_stream,
+    _prep,
+    money_sum_sql,
+    query,
+)
+from gibbon_spark.streaming.joins import stream_interval_join
+
+# =========================================================================
+# Incremental materialized-view maintenance (partial-aggregate merge)
+# =========================================================================
+
+_MV_CUTOFF = "2001-01-01 00:00:00"
+
+
+@query(
+    "mv_incremental_refresh",
+    f"""
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           count(*) AS n_orders,
+           {money_sum_sql("o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the daily-revenue MV is
+    maintained as MERGEABLE partial aggregates (count + exact decimal
+    sum), so refreshing after new data lands costs one pass over the
+    DELTA plus a merge keyed on the (tiny) day frame — never a full
+    recompute. Here the base (< cutoff) and the delta (>= cutoff) are
+    pre-aggregated independently and merged; the oracle IS the full
+    recompute, proving merge(base_partial, delta_partial) == full. At
+    100 TB this is the difference between an O(delta) nightly refresh
+    and an O(corpus) one; correctness rests on count/decimal-sum being
+    associative-commutative monoids, which the decimal (not double) sum
+    guarantees (money_sum discipline)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(
+                F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast(
+                    "decimal(24,4)"
+                )
+            ).alias("ps"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("ps").cast("double") + F.lit(1e-9), 2).alias("revenue"),
+        )
+    )
+
+
+# =========================================================================
+# Correlation / covariance matrix from exact decimal moments
+# =========================================================================
+
+_CORR_VARS = {"qty": "l_quantity", "price": "l_extendedprice", "disc": "l_discount"}
+_CORR_PAIRS = [("qty", "price"), ("qty", "disc"), ("price", "disc")]
+
+
+def _corr_matrix_oracle_sql() -> str:
+    def dec(expr: str) -> str:
+        return f"CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(18,4))"
+
+    def r4(expr: str) -> str:
+        return f"round(({expr}) + 1e-9, 4)"
+
+    def decprod(a: str, b: str) -> str:
+        # product quantized in DOUBLE space (identical IEEE bits on both
+        # engines), then summed as decimal — decimal*decimal overflows
+        # DuckDB's multiply width at this precision
+        return f"CAST(round({r4(a)} * {r4(b)} + 1e-9, 8) AS DECIMAL(30,8))"
+
+    sums = ["count(*) AS n"]
+    for k, c in _CORR_VARS.items():
+        sums.append(f"sum({dec(c)}) AS s_{k}")
+        sums.append(f"sum({decprod(c, c)}) AS ss_{k}")
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"sum({decprod(_CORR_VARS[a], _CORR_VARS[b])}) AS sp_{a}_{b}"
+        )
+    arms = []
+    for a, b in _CORR_PAIRS:
+        cov_n = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        var = (
+            "(CAST(n AS DOUBLE) * CAST(ss_{v} AS DOUBLE)"
+            " - CAST(s_{v} AS DOUBLE) * CAST(s_{v} AS DOUBLE))"
+        )
+        arms.append(
+            f"SELECT '{a}_{b}' AS pair, n, "
+            f"round({cov_n} / sqrt({var.format(v=a)} * {var.format(v=b)}) + 1e-9, 6)"
+            f" AS corr, "
+            f"round({cov_n} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-9, 4)"
+            f" AS cov_pop FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY pair"
+    )
+
+
+@query("corr_matrix_lineitem", _corr_matrix_oracle_sql())
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance matrix over the
+    lineitem measures, computed from exact decimal moments (n, Σx, Σx²,
+    Σxy with per-row values 4-dp-quantized) in ONE aggregate pass — the
+    textbook one-pass moment formulation, association-order-free because
+    the sums are decimal. Built-in corr()/covar_pop() accumulate doubles
+    whose pairing differs between engines and runs; this form is
+    bit-reproducible (decimal moments → one deterministic double
+    expression per pair, IEEE sqrt/divide are correctly rounded). Scale
+    shape: map-side partial moments, a single 1-row frame, expression
+    fan-out to 3 rows — no second scan per pair."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+
+    def dec(c: str):
+        return F.round(F.col(c) + F.lit(1e-9), 4).cast("decimal(18,4)")
+
+    def r4(c: str):
+        return F.round(F.col(c) + F.lit(1e-9), 4)
+
+    def decprod(a: str, b: str):
+        return F.round(r4(a) * r4(b) + F.lit(1e-9), 8).cast("decimal(30,8)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, c in _CORR_VARS.items():
+        aggs.append(F.sum(dec(c)).alias(f"s_{k}"))
+        aggs.append(F.sum(decprod(c, c)).alias(f"ss_{k}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(decprod(_CORR_VARS[a], _CORR_VARS[b])).alias(f"sp_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+
+    nd = F.col("n").cast("double")
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    arms = []
+    for a, b in _CORR_PAIRS:
+        cov_n = nd * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        var_a = nd * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}")
+        var_b = nd * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}")
+        arms.append(
+            F.struct(
+                F.lit(f"{a}_{b}").alias("pair"),
+                F.round(cov_n / F.sqrt(var_a * var_b) + F.lit(1e-9), 6).alias(
+                    "corr"
+                ),
+                F.round(cov_n / (nd * nd) + F.lit(1e-9), 4).alias("cov_pop"),
+            )
+        )
+    return (
+        s.select("n", F.explode(F.array(*arms)).alias("r"))
+        .select(F.col("r.pair").alias("pair"), "n", "r.corr", "r.cov_pop")
+        .orderBy("pair")
+    )
+
+
+# =========================================================================
+# Deterministic per-group reservoir sampling
+# =========================================================================
+
+
+@query(
+    "sample_reservoir_per_group",
+    """
+    WITH h AS (
+      SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+    )
+    SELECT lang, rk, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+      FROM h
+    ) WHERE rk <= 8
+    """,
+)
+def q_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-group sample with reservoir semantics but NO RNG
+    state: rank by md5(doc_id) within each group and keep the first k.
+    The md5 order is a uniform permutation, membership is reproducible
+    on any engine/cluster size, and the plan is one keyed shuffle whose
+    per-task state Spark's WindowGroupLimit caps at k rows per group
+    BEFORE the final sort — the scalable replacement for
+    driver-side reservoir loops."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("lang", "rk", "doc_id")
+    )
+
+
+# =========================================================================
+# Inverted index build (posting lists)
+# =========================================================================
+
+
+@query(
+    "inverted_index_terms",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(*) AS n_postings FROM tp GROUP BY term
+    ),
+    head AS (
+      SELECT term,
+             count(*) AS df,
+             array_to_string(list_sort(list(doc_id))[1:12], ',') AS posting_head
+      FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        FROM t
+      ) WHERE rk <= 12 GROUP BY term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+    SELECT d.term, d.df, s.n_postings, h.posting_head
+    FROM dfreq d JOIN stats s ON d.term = s.term JOIN head h ON d.term = h.term
+    ORDER BY d.df DESC, d.term LIMIT 40
+    """,
+)
+def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the search/decontamination backbone):
+    per term, document frequency, total postings, and the first 12
+    doc_ids of the sorted posting list. The posting head is truncated
+    BEFORE any collect — a row_number window capped at 12 (Spark pushes
+    the cap into WindowGroupLimit partial evaluation) — so a stopword
+    with a 10⁹-doc posting list never materializes as one array on one
+    task; df/posting counts come from plain hash aggregates. Three keyed
+    shuffles on ``term``, all AQE-coalesced; no unbounded per-key
+    state anywhere."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    stats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_postings"))
+    td = toks.distinct()
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        td.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 12)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_head")
+        )
+    )
+    return (
+        dfreq.join(stats, "term")
+        .join(head, "term")
+        .select("term", "df", "n_postings", "posting_head")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(40)
+    )
+
+
+# =========================================================================
+# Token-distribution drift between dataset splits
+# =========================================================================
+
+
+@query(
+    "token_drift_splits",
+    """
+    WITH s AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                       % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+             unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+    ),
+    c AS (
+      SELECT token,
+             count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+             count(CASE WHEN split = 'val' THEN 1 END) AS n_val
+      FROM s GROUP BY token
+    ),
+    tot AS (
+      SELECT sum(n_train) AS t_train, sum(n_val) AS t_val FROM c
+    )
+    SELECT token, n_train, n_val,
+           round(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE) + 1e-9, 8)
+             AS p_train,
+           round(CAST(n_val AS DOUBLE) / CAST(t_val AS DOUBLE) + 1e-9, 8) AS p_val,
+           round(abs(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE)
+                     - CAST(n_val AS DOUBLE) / CAST(t_val AS DOUBLE)) + 1e-9, 8)
+             AS tv_component
+    FROM c, tot
+    ORDER BY n_train + n_val DESC, token LIMIT 30
+    """,
+)
+def q_token_drift_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the deterministic train/val
+    splits (same md5-mod split as sample_split_hash): per top-30 token,
+    relative frequency in each split and the total-variation component
+    |p_train − p_val|. This is the dataset-shift / contamination check a
+    training pipeline runs before trusting a validation set. All
+    arithmetic is ratios of exact BIGINT counts (libm-free, same
+    discipline as tfidf_top_terms), so both engines produce identical
+    doubles. One tokenize scan → one hash aggregate; the two split
+    totals ride along as a 1-row broadcast (allow-listed scalar
+    nested-loop, O(n) like the BM25 corpus stats)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    toks = (
+        docs.select(bucket.alias("bucket"), "text")
+        .filter(F.col("bucket") < 90)
+        .select(
+            F.when(F.col("bucket") < 80, "train").otherwise("val").alias("split"),
+            F.explode(tx.tokens("text")).alias("token"),
+        )
+    )
+    c = toks.groupBy("token").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+    )
+    tot = c.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_val").alias("t_val")
+    )
+    p_train = F.col("n_train").cast("double") / F.col("t_train").cast("double")
+    p_val = F.col("n_val").cast("double") / F.col("t_val").cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_train",
+            "n_val",
+            F.round(p_train + F.lit(1e-9), 8).alias("p_train"),
+            F.round(p_val + F.lit(1e-9), 8).alias("p_val"),
+            F.round(F.abs(p_train - p_val) + F.lit(1e-9), 8).alias("tv_component"),
+        )
+        .orderBy((F.col("n_train") + F.col("n_val")).desc(), "token")
+        .limit(30)
+    )
+
+
+# =========================================================================
+# Stream-stream interval join (availableNow replay vs batch oracle)
+# =========================================================================
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join replayed with availableNow and
+    checked against the batch oracle: purchases matched to same-user
+    clicks within the preceding 10 minutes. Both streams carry a
+    10-minute watermark and the join condition bounds event time on
+    both sides (streaming/joins.py), so state per key is O(rows within
+    the horizon) — the only shape under which a stream-stream join can
+    run indefinitely. Inner-join matches are emitted as they occur
+    (watermarks gate state EVICTION, not inner-join output), so the
+    replay's final table equals the batch join exactly, whatever the
+    micro-batching. The reference has no streaming join (synchronous
+    single writer, examples/csv_to_packed.rs:23-27); SURVEY §2.2
+    streaming category."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    # withWatermark requires TIMESTAMP (LTZ); the parquet stores NTZ.
+    # The session tz is pinned UTC above, so the cast is value-preserving.
+    purchases = s1.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    clicks = s2.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on=["user_id"], within="10 minutes"
+    ).select(
+        "user_id", "purchase_id", F.col("click_id_right").alias("click_id")
+    )
+    name = f"_gs_stream_ij_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# =========================================================================
+# Semantic dedup: centroid-proximity pruning (SemDeDup-style)
+# =========================================================================
+
+_SEMDEDUP_TAU = 0.25
+
+
+def _semdedup_oracle_sql(tau: float = _SEMDEDUP_TAU) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, label, t.dim - 1 AS dim, v[t.dim] AS val
+      FROM e, unnest(range(1, len(v) + 1)) AS t(dim)
+    ),
+    cent AS (
+      SELECT label, dim,
+             round(CAST(sum(CAST(round(val + 1e-9, 6) AS DECIMAL(24,6))) AS DOUBLE)
+                   / count(*) + 1e-9, 6) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    j AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(round(ex.val * cent.c + 1e-9, 10) AS DECIMAL(20,10)) AS vc,
+             CAST(round(ex.val * ex.val + 1e-9, 10) AS DECIMAL(20,10)) AS vv,
+             CAST(round(cent.c * cent.c + 1e-9, 10) AS DECIMAL(20,10)) AS cc
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+    ),
+    pv AS (
+      SELECT vec_id, label,
+             CAST(sum(vc) AS DOUBLE)
+               / (sqrt(CAST(sum(vv) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE)))
+               AS cos
+      FROM j GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vecs,
+           count(CASE WHEN cos >= {tau} THEN 1 END) AS n_redundant,
+           round(min(cos) + 1e-9, 6) AS min_cos,
+           round(max(cos) + 1e-9, 6) AS max_cos
+    FROM pv GROUP BY label ORDER BY label
+    """
+
+
+@query("semdedup_centroid_prune", _semdedup_oracle_sql())
+def q_semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): within each semantic cluster — here the given label,
+    in production the IVF/k-means assignment — vectors whose cosine to
+    the cluster centroid exceeds tau are semantic redundants; keeping
+    one representative of the dense core shrinks web-scale corpora
+    30-50% with no quality loss. Plan: posexplode → centroid per
+    (label, dim) via exact decimal means (the embedding_centroids
+    aggregate), broadcast the classes×dims centroid frame back, one
+    keyed aggregate per vec_id for dot/norms from 10-dp decimal terms
+    (association-order-free), then a per-label rollup. Every shuffle is
+    keyed; centroid frame is tiny at any corpus size. The oracle
+    replays the identical quantized arithmetic, so redundancy counts
+    are bit-reproducible — unusual for embedding pipelines and exactly
+    what an audit of a 100 TB prune decision needs."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    ex = embs.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "label", "dim", F.col("vf").cast("double").alias("val"))
+    val6 = F.round(F.col("val") + F.lit(1e-9), 6).cast("decimal(24,6)")
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(val6).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("c")
+    )
+
+    def dec10(col):
+        return F.round(col + F.lit(1e-9), 10).cast("decimal(20,10)")
+
+    j = ex.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        dec10(F.col("val") * F.col("c")).alias("vc"),
+        dec10(F.col("val") * F.col("val")).alias("vv"),
+        dec10(F.col("c") * F.col("c")).alias("cc"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("nc").cast("double"))
+    )
+    pv = (
+        j.groupBy("vec_id", "label")
+        .agg(
+            F.sum("vc").alias("dot"),
+            F.sum("vv").alias("nv"),
+            F.sum("cc").alias("nc"),
+        )
+        .select("vec_id", "label", cos.alias("cos"))
+    )
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("cos") >= _SEMDEDUP_TAU, 1)).alias("n_redundant"),
+            F.round(F.min("cos") + F.lit(1e-9), 6).alias("min_cos"),
+            F.round(F.max("cos") + F.lit(1e-9), 6).alias("max_cos"),
+        )
+        .orderBy("label")
+    )

@@ -16,6 +16,7 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",
     "tfidf_top_terms",
     "bm25_search",
+    "token_drift_splits",
 }
 
 
