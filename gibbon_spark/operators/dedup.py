@@ -261,6 +261,19 @@ def minhash_signatures(
     md5(i || ':' || shingle) (lexicographic min of hex digests). One
     explode + one groupBy; signature size is O(k) regardless of doc size."""
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    # The k md5s per shingle row are CPU-bound, but they evaluate in the
+    # partial-agg stage right after shingle_table's distinct exchange —
+    # whose width AQE coalesces by BYTE size (~64 MB advisory), blind to
+    # downstream CPU cost. A small corpus then hashes on 1-3 tasks while
+    # the rest of the cluster idles. Repartitioning by id to the
+    # session's declared shuffle width (explicit numPartitions => AQE
+    # leaves it alone) pins the hash stage wide; the groupBy(id) reuses
+    # the partitioning, so no extra exchange follows. Cost: one shuffle
+    # of the (id, shingle) table — bytes-bound, trivial next to k md5s
+    # per row. On a real cluster shuffle.partitions is sized to the
+    # fleet, so the same rule holds at 100 TB.
+    width = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(width, "id")
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
