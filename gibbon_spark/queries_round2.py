@@ -24,6 +24,7 @@ from gibbon_spark.queries import (
     _STREAM_SINK_SEQ,
     _events_stream,
     _prep,
+    money_sum,
     money_sum_sql,
     query,
 )
@@ -553,4 +554,326 @@ def q_semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos") + F.lit(1e-9), 6).alias("max_cos"),
         )
         .orderBy("label")
+    )
+
+
+# =========================================================================
+# Window distribution functions (ntile / percent_rank / cume_dist / lead)
+# =========================================================================
+
+
+@query(
+    "window_distribution_gallery",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w + 1e-9, 8) AS pct_rank,
+           round(cume_dist() OVER w + 1e-9, 8) AS cume,
+           round(lead(o_totalprice, 1, -1.0) OVER w + 1e-9, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions in one spec: ntile quartile,
+    percent_rank, cume_dist, and lead-with-default, partitioned by order
+    priority. The ORDER BY carries the unique o_orderkey tiebreak, so
+    rank-derived ratios are deterministic (percent_rank/cume_dist are
+    exact integer ratios — identical IEEE doubles on both engines). One
+    window shuffle on a bounded-cardinality key; all four functions ride
+    the same sort."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 8).alias("cume"),
+        F.round(F.lead("o_totalprice", 1, -1.0).over(w) + F.lit(1e-9), 2).alias(
+            "next_price"
+        ),
+    )
+
+
+# =========================================================================
+# Equi-depth binning via broadcast quantile boundaries
+# =========================================================================
+
+
+@query(
+    "equi_depth_bins",
+    f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM orders
+    )
+    SELECT len(list_filter(b.bs, x -> x <= o_totalprice)) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice) + 1e-9, 2) AS min_price,
+           round(max(o_totalprice) + 1e-9, 2) AS max_price,
+           {money_sum_sql("o_totalprice")} AS sum_price
+    FROM orders, b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning by BROADCAST BOUNDARIES: compute the
+    9 interior decile boundaries once, ship them to every task, assign
+    each row map-side by counting boundaries <= value, then aggregate
+    per bin — the standard two-phase histogram that replaces a global
+    sort/ntile (whose single-partition window cannot scale). Boundary
+    computation here is Spark's exact interpolated percentile (matches
+    DuckDB quantile_cont bit-for-bit; one holistic reduce over the
+    numeric column — at 100 TB swap in approx_percentile's t-digest,
+    same plan shape, as percentiles_by_group_approx demonstrates). The
+    assignment pass is pure codegen expressions; one aggregate shuffle
+    of 10 groups."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    bucket = F.size(
+        F.filter(F.col("bs"), lambda x: x <= F.col("o_totalprice"))
+    ).alias("bucket")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select("o_totalprice", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice") + F.lit(1e-9), 2).alias("min_price"),
+            F.round(F.max("o_totalprice") + F.lit(1e-9), 2).alias("max_price"),
+            money_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# =========================================================================
+# Stream-static enrichment join (availableNow replay vs batch oracle)
+# =========================================================================
+
+
+@query(
+    "streaming_static_enrich",
+    f"""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           {money_sum_sql("e.value")} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join: the event stream joins a static
+    dimension (customer) micro-batch by micro-batch — the standard
+    pattern for decorating a firehose with slowly-changing reference
+    data. The dim side is a bounded batch DataFrame, so Spark
+    broadcasts it into every micro-batch (no stream state at all,
+    unlike stream-stream joins); the rollup then aggregates in complete
+    mode and the availableNow replay's final table hash-matches the
+    batch join oracle. At 100 TB/day the same plan holds: the stream
+    shuffles only for the final aggregate, the dim re-broadcasts per
+    trigger (refreshable without restart)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from gibbon_spark.sources.tables import load_table
+
+    s = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = s.join(
+        F.broadcast(cust), s.user_id == cust.c_custkey, "inner"
+    )
+    rolled = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+    name = f"_gs_stream_enrich_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# =========================================================================
+# k-NN graph construction over LSH candidates
+# =========================================================================
+
+
+def _knn_graph_oracle_sql(k: int = 3, band_bits: int = 4) -> str:
+    from gibbon_spark.operators import similarity
+    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_bucket_expr
+
+    n_bands = similarity.NUM_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    band_eq = " OR ".join(
+        f"((a.bucket >> {b * band_bits}) & {mask}) = "
+        f"((b.bucket >> {b * band_bits}) & {mask})"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (SELECT vec_id, ({_lsh_bucket_expr()}) AS bucket FROM e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS nbr FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS nbr FROM cand
+    ),
+    scored AS (
+      SELECT s.src, s.nbr, {_COSINE_SQL} AS cosine_sim
+      FROM sym s JOIN e a ON s.src = a.vec_id JOIN e b ON s.nbr = b.vec_id
+    )
+    SELECT src, nbr, cosine_sim, rank FROM (
+      SELECT src, nbr, cosine_sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine_sim DESC, nbr) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("knn_graph_lsh", _knn_graph_oracle_sql())
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (every vector's top-3 neighbors among its
+    LSH band candidates) — the build step behind graph-based ANN
+    indexes, semantic clustering, and SemDeDup's cluster refinement.
+    Unlike sim_topk_* (bounded driver-side query set), here EVERY corpus
+    vector is a query, so the plan must stay corpus-shaped: banded
+    hyperplane-LSH self-join for candidates (keyed, no replication),
+    exact cosine rerank, per-source rank capped at k via
+    WindowGroupLimit. The md5-derived planes make the candidate set
+    deterministic, so the oracle replays the identical graph — the
+    LSH-contract semantics, same division as sim_embedding_neardup."""
+    from gibbon_spark.operators import similarity
+
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_neardup_pairs(embs, threshold=-2.0)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cosine_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine_sim").desc(), "nbr")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "nbr", "cosine_sim", "rank")
+    )
+
+
+# =========================================================================
+# Quality-filter audit report (C4/Gopher-style rule breakdown)
+# =========================================================================
+
+_QF_STOPWORDS = ("the", "a", "of", "and")
+
+
+def _quality_filter_oracle_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _QF_STOPWORDS)
+    rules = {
+        "min_tokens": "n_tokens < 30",
+        "digit_noise": "digit_frac > 0.02",
+        "low_stopword": "stop_frac < 0.05",
+        "short_tokens": "chars_per_token < 4.0",
+    }
+    arms = []
+    for rule, cond in rules.items():
+        arms.append(
+            f"SELECT '{rule}' AS rule, count(CASE WHEN {cond} THEN 1 END) AS n_fail,"
+            f" count(*) AS n_docs,"
+            f" round(CAST(count(CASE WHEN {cond} THEN 1 END) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS fail_rate FROM m"
+        )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS digit_frac,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t IN ({sw}))) AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS stop_frac,
+             CAST(length(text) AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+               AS chars_per_token
+      FROM documents
+    )
+    {" UNION ALL ".join(arms)}
+    ORDER BY rule
+    """
+
+
+@query("quality_filter_report", _quality_filter_oracle_sql())
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter AUDIT: per-rule failure counts for a C4/Gopher-
+    style rule set (min token count, digit-noise ratio, stopword floor,
+    mean token length) — the report a data curator reads before
+    applying a destructive corpus filter. All four rules are computed
+    in ONE scan as codegen expressions (token counts, char-class
+    ratios), aggregated once, then fanned out to one row per rule; the
+    fail rates are exact integer-count ratios, bit-identical on both
+    engines. At 100 TB: map-side expressions + a 1-row aggregate —
+    nothing scales with corpus size but the scan."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_tokens = F.size(toks)
+    digit_frac = (
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+        / F.length(F.col("text")).cast("double")
+    )
+    stop_frac = F.size(
+        F.filter(toks, lambda t: t.isin(*_QF_STOPWORDS))
+    ).cast("double") / n_tokens.cast("double")
+    chars_per_token = F.length(F.col("text")).cast("double") / n_tokens.cast(
+        "double"
+    )
+    m = docs.select(
+        n_tokens.alias("n_tokens"),
+        digit_frac.alias("digit_frac"),
+        stop_frac.alias("stop_frac"),
+        chars_per_token.alias("chars_per_token"),
+    )
+    rules = {
+        "min_tokens": F.col("n_tokens") < 30,
+        "digit_noise": F.col("digit_frac") > 0.02,
+        "low_stopword": F.col("stop_frac") < 0.05,
+        "short_tokens": F.col("chars_per_token") < 4.0,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for rule, cond in rules.items():
+        aggs.append(F.count(F.when(cond, 1)).alias(f"fail_{rule}"))
+    row = m.agg(*aggs)
+    arms = [
+        F.struct(
+            F.lit(rule).alias("rule"),
+            F.col(f"fail_{rule}").alias("n_fail"),
+            F.col("n_docs").alias("n_docs"),
+            F.round(
+                F.col(f"fail_{rule}").cast("double")
+                / F.col("n_docs").cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("fail_rate"),
+        )
+        for rule in rules
+    ]
+    return (
+        row.select(F.explode(F.array(*arms)).alias("r"))
+        .select("r.rule", "r.n_fail", "r.n_docs", "r.fail_rate")
+        .orderBy("rule")
     )

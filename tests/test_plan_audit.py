@@ -17,6 +17,7 @@ ALLOWED_NESTED_LOOP = {
     "tfidf_top_terms",
     "bm25_search",
     "token_drift_splits",
+    "equi_depth_bins",
 }
 
 
