@@ -877,3 +877,95 @@ def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.rule", "r.n_fail", "r.n_docs", "r.fail_rate")
         .orderBy("rule")
     )
+
+
+# =========================================================================
+# Global running total without a whole-frame window
+# =========================================================================
+
+
+@query(
+    "running_total_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4)))
+                      OVER (ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) + 1e-9, 2) AS running_revenue
+    FROM orders
+    """,
+)
+def q_running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cumulative revenue in (orderdate, orderkey) order — the
+    oracle's single ``sum() OVER (ORDER BY ...)`` window, reproduced
+    with NO whole-frame window via operators.ranking.global_running_sum
+    (repartitionByRange → per-partition running sums → P-row broadcast
+    offsets). The decimal value column makes the two-level association
+    order irrelevant, so the result is bit-identical to the serial
+    scan at any partition count — the pattern that keeps ordered
+    analytics alive at 10^10 rows where a global window dies on one
+    task."""
+    from gibbon_spark.operators.ranking import global_running_sum
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    val = F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    out = global_running_sum(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        val,
+        out_col="_run",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("_run").cast("double") + F.lit(1e-9), 2).alias(
+            "running_revenue"
+        ),
+    )
+
+
+# =========================================================================
+# Higher-order array functions gallery
+# =========================================================================
+
+
+@query(
+    "array_hof_gallery",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_reduce(v, (a, b) -> a + b) + 1e-9, 6) AS sum_fold,
+           round(list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+                 + 1e-9, 6) AS l1_norm,
+           len(list_filter(v, x -> x > 0)) AS n_pos,
+           round(list_max(v) + 1e-9, 6) AS max_v,
+           round(list_reduce(list_transform(range(1, len(v) + 1),
+                                            i -> v[i] * v[len(v) - i + 1]),
+                             (a, b) -> a + b) + 1e-9, 6) AS rev_dot
+    FROM e
+    """,
+)
+def q_array_hof_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one pass over the embedding
+    column: aggregate (left fold — same association order as DuckDB's
+    list_reduce, so the doubles are bit-identical), transform+fold (L1
+    norm), filter+size, array_max, and zip_with against the reversed
+    vector (a self-convolution term). All pure codegen expressions —
+    the vector math stays JVM-side with zero shuffles; the scan is the
+    whole plan."""
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    sum_fold = F.aggregate(v, zero, lambda acc, x: acc + x)
+    l1 = F.aggregate(F.transform(v, lambda x: F.abs(x)), zero, lambda a, x: a + x)
+    rev_dot = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    return embs.select(
+        "vec_id",
+        F.round(sum_fold + F.lit(1e-9), 6).alias("sum_fold"),
+        F.round(l1 + F.lit(1e-9), 6).alias("l1_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(v) + F.lit(1e-9), 6).alias("max_v"),
+        F.round(rev_dot + F.lit(1e-9), 6).alias("rev_dot"),
+    )

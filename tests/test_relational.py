@@ -125,3 +125,25 @@ def test_bloom_prefilter_actually_prunes(spark):
     assert n_true <= n_passed < n_total, (n_true, n_passed, n_total)
     # prunes at least half of the non-matching rows
     assert (n_passed - n_true) <= 0.5 * (n_total - n_true), (n_true, n_passed, n_total)
+
+
+def test_global_running_sum_matches_window(spark):
+    """Two-level running sum (repartitionByRange + broadcast offsets)
+    must equal the single-window serial semantics exactly, including
+    duplicate order values resolved by the tiebreak column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 7) % 5, float((i * 13) % 97) / 4) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["k", "grp", "x"])
+    val = F.round(F.col("x") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    got = global_running_sum(
+        df, [F.asc("grp"), F.asc("k")], val, out_col="rs", n_parts=7
+    )
+    w = Window.orderBy("grp", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rs", F.sum(val).over(w))
+    g = {r.k: float(r.rs) for r in got.collect()}
+    e = {r.k: float(r.rs) for r in want.collect()}
+    assert g == e

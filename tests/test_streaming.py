@@ -214,3 +214,80 @@ def test_stream_stream_interval_join(spark):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     ]
     assert sorted(got) == [(1, 1000.0, 800.0)]
+
+
+def test_foreachbatch_incremental_mv_equals_batch(spark):
+    """foreachBatch maintains a materialized view as mergeable partial
+    aggregates (count + exact decimal sum) across micro-batches; after
+    the availableNow replay the MV equals the batch recompute — the
+    streaming face of mv_incremental_refresh's merge(base, delta) ==
+    full invariant."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="gibbon_mv_")
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    for i, (lo, hi) in enumerate(cuts):
+        df = ev
+        if lo is not None:
+            df = df.filter(F.col("event_id") > lo)
+        if hi is not None:
+            df = df.filter(F.col("event_id") <= hi)
+        slice_dir = os.path.join(base, f"slice{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        part = g.glob(os.path.join(slice_dir, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(stream_dir, f"batch{i}.parquet"))
+
+    schema = spark.read.parquet(os.path.join(stream_dir, "batch0.parquet")).schema
+    mv_dir = os.path.join(base, "mv")
+    dec = F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+
+    def merge_mv(bdf, batch_id):
+        partial = bdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+        )
+        prev_path = os.path.join(mv_dir, f"v{batch_id - 1}")
+        if batch_id > 0 and os.path.exists(prev_path):
+            prev = bdf.sparkSession.read.parquet(prev_path)
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+        partial.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("decimal(24,4)").alias("s"),
+        ).write.mode("overwrite").parquet(os.path.join(mv_dir, f"v{batch_id}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(merge_mv)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    versions = sorted(g.glob(os.path.join(mv_dir, "v*")))
+    assert len(versions) == 3, f"expected 3 micro-batches, got {versions}"
+    final = spark.read.parquet(versions[-1])
+    expect = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+    )
+    got = {r.event_type: (r.n, float(r.s)) for r in final.collect()}
+    exp = {r.event_type: (r.n, float(r.s)) for r in expect.collect()}
+    assert got == exp
