@@ -319,6 +319,32 @@ def _est_jaccard(num_hashes: int) -> Column:
     ) / F.lit(float(num_hashes))
 
 
+def _rejoin_sigs_est(
+    cand: DataFrame,
+    sigs_a: DataFrame,
+    *,
+    sigs_b: DataFrame | None = None,
+    num_hashes: int,
+) -> DataFrame:
+    """Hydrate deduped (id_a, id_b) candidates with their signatures
+    (two keyed joins against the O(docs)-row signature tables) and emit
+    the component-equality Jaccard estimate."""
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
+    sa = sigs_a.select(F.col("id").alias("id_a"), sig_arr.alias("sig_a"))
+    sb = (sigs_b if sigs_b is not None else sigs_a).select(
+        F.col("id").alias("id_b"), sig_arr.alias("sig_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_est_jaccard(num_hashes), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, *, num_hashes: int = 12, bands: int = 4
 ) -> DataFrame:
@@ -327,27 +353,26 @@ def lsh_candidate_pairs(
     signature components (the unbiased Jaccard estimate).
 
     Shuffle profile at scale: each doc emits `bands` rows keyed by
-    (band_idx, band_hash); join meets only same-bucket docs. No O(n²)."""
-    banded = _banded(sigs, num_hashes=num_hashes, bands=bands)
+    (band_idx, band_hash) carrying the ID ONLY — the O(k·32B) signature
+    payload would otherwise ride every band row, the join, and the
+    pair dedup (k/r× the bytes for zero information; the id→sig map is
+    joined back once on the deduped pairs instead). Join meets only
+    same-bucket docs. No O(n²)."""
+    banded = _banded(sigs, num_hashes=num_hashes, bands=bands).select(
+        "id", "band", "key"
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(_est_jaccard(num_hashes), 6).alias("est_jaccard")
-    )
+    return _rejoin_sigs_est(cand, sigs, num_hashes=num_hashes)
 
 
 def lsh_candidate_pairs_cross(
@@ -364,25 +389,24 @@ def lsh_candidate_pairs_cross(
     candidate, so an incoming doc is flagged even when its twin has a
     smaller id. At scale the incoming side is a day's crawl and the
     index side a pre-computed signature table — the band join touches
-    only colliding buckets; the full corpus text is never re-shingled."""
-    a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).alias("a")
-    b = _banded(sigs_b, num_hashes=num_hashes, bands=bands).alias("b")
-    pairs = (
+    only colliding buckets; the full corpus text is never re-shingled.
+    Band rows carry ids only (see lsh_candidate_pairs); signatures
+    rejoin on the deduped pairs."""
+    a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).select(
+        "id", "band", "key"
+    ).alias("a")
+    b = _banded(sigs_b, num_hashes=num_hashes, bands=bands).select(
+        "id", "band", "key"
+    ).alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(_est_jaccard(num_hashes), 6).alias("est_jaccard")
-    )
+    return _rejoin_sigs_est(cand, sigs_a, sigs_b=sigs_b, num_hashes=num_hashes)
 
 
 def minhash_lsh_pairs(

@@ -969,3 +969,98 @@ def q_array_hof_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v) + F.lit(1e-9), 6).alias("max_v"),
         F.round(rev_dot + F.lit(1e-9), 6).alias("rev_dot"),
     )
+
+
+# =========================================================================
+# Changepoint detection: per-series CUSUM alarms
+# =========================================================================
+
+
+@query(
+    "ts_cusum_changepoints",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)) AS r4
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(r4) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE)
+                                 + 1e-9, 8) AS DECIMAL(30,8))) AS DOUBLE) AS ss
+      FROM r GROUP BY user_id
+    ),
+    dev AS (
+      SELECT r.event_id, r.user_id, r.ts,
+             CAST(r.r4 AS DOUBLE) - st.s / CAST(st.n AS DOUBLE) AS d,
+             sqrt(greatest(st.ss / CAST(st.n AS DOUBLE)
+                           - (st.s / CAST(st.n AS DOUBLE))
+                             * (st.s / CAST(st.n AS DOUBLE)), 0.0)) AS sigma
+      FROM r JOIN st ON r.user_id = st.user_id
+    ),
+    cu AS (
+      SELECT event_id, user_id, ts, sigma,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum
+      FROM dev
+    )
+    SELECT user_id, event_id, ts,
+           round(cusum + 1e-9, 6) AS cusum,
+           round(cusum / sigma + 1e-9, 6) AS cusum_sigmas
+    FROM cu
+    WHERE abs(cusum) > 3 * sigma AND sigma > 0
+    """,
+)
+def q_ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: cumulative sum of
+    deviations from the series mean, alarming where |CUSUM| exceeds
+    3 sigma — the classic Page (1954) drift detector, the streaming-
+    monitoring sibling of ts_anomaly_zscore (pointwise) and
+    ts_threshold_crossings (level-based). Per-series moments come from
+    exact decimal sums (one keyed aggregate, broadcast back); the
+    running sum is a per-series ordered window whose sequential
+    accumulation order is identical on both engines, so the doubles
+    match bit-for-bit. Plan: one aggregate + one keyed window shuffle —
+    both on user_id, reusable partitioning, no whole-frame operator."""
+    (events,) = _prep(spark, sf_dir, "events")
+    r4 = F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    r = events.select("event_id", "user_id", "ts", r4.alias("r4"))
+    rd = F.col("r4").cast("double")
+    sq = F.round(rd * rd + F.lit(1e-9), 8).cast("decimal(30,8)")
+    st = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r4").cast("double").alias("s"),
+        F.sum(sq).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("ss") / F.col("n").cast("double") - mean * mean, F.lit(0.0)
+        )
+    )
+    dev = r.join(st, "user_id").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("r4").cast("double") - mean).alias("d"),
+        sigma.alias("sigma"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cu = dev.select(
+        "event_id", "user_id", "ts", "sigma", F.sum("d").over(w).alias("cusum")
+    )
+    return cu.filter(
+        (F.abs(F.col("cusum")) > 3 * F.col("sigma")) & (F.col("sigma") > 0)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("cusum") + F.lit(1e-9), 6).alias("cusum"),
+        F.round(F.col("cusum") / F.col("sigma") + F.lit(1e-9), 6).alias(
+            "cusum_sigmas"
+        ),
+    )
