@@ -1064,3 +1064,52 @@ def q_ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_sigmas"
         ),
     )
+
+
+# =========================================================================
+# spark.sql surface: the same engine through ANSI SQL over temp views
+# =========================================================================
+
+
+@query(
+    "sql_api_nation_revenue",
+    """
+    SELECT n.n_name,
+           count(DISTINCT o.o_custkey) AS n_buyers,
+           round(CAST(sum(CAST(round(o.o_totalprice + 1e-9, 4)
+                               AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL facade: this query is executed as a literal
+    ``spark.sql`` string over registered temp views — not a DataFrame
+    chain — demonstrating that every operator in the engine is equally
+    reachable through ANSI SQL (same Catalyst plan either way; the
+    oracle is nearly the identical text, modulo DuckDB's cast syntax).
+    Users porting warehouse SQL onto this engine use exactly this
+    entry point."""
+    from gibbon_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(DISTINCT o.o_custkey) AS n_buyers,
+               round(CAST(sum(CAST(round(o.o_totalprice + 1e-9, 4)
+                                   AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+                 AS revenue
+        FROM gs_orders o
+        JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        JOIN gs_nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
