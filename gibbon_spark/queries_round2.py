@@ -1113,3 +1113,121 @@ def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+# =========================================================================
+# Data-quality constraint report (Deequ-style validation)
+# =========================================================================
+
+
+@query(
+    "dq_constraint_report",
+    """
+    WITH pk AS (
+      SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+             count(o_custkey) AS nn_cust,
+             count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpos,
+             count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                          OR o_orderdate >= TIMESTAMP '2010-01-01'
+                        THEN 1 END) AS n_bad_date
+      FROM orders
+    ),
+    fk AS (
+      SELECT count(*) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT chk.check_name, chk.observed, chk.threshold,
+           CASE WHEN chk.observed <= chk.threshold THEN 'pass'
+                ELSE 'fail' END AS status
+    FROM (
+      SELECT 'pk_unique_orderkey' AS check_name,
+             n_rows - n_keys AS observed, 0 AS threshold FROM pk
+      UNION ALL
+      SELECT 'custkey_not_null', n_rows - nn_cust, 0 FROM pk
+      UNION ALL
+      SELECT 'totalprice_positive', n_nonpos, 0 FROM pk
+      UNION ALL
+      SELECT 'orderdate_in_range', n_bad_date, 0 FROM pk
+      UNION ALL
+      SELECT 'fk_orders_customer', n_orphans, 0 FROM fk
+    ) chk
+    ORDER BY chk.check_name
+    """,
+)
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint validation (the Deequ/Great-Expectations
+    pattern): primary-key uniqueness, NOT NULL, value-range, date-range,
+    and referential-integrity checks, emitted as one (check, observed,
+    threshold, status) report. The four column constraints share ONE
+    scan-and-aggregate (conditional counts); the FK check is a left-anti
+    count — a keyed join that broadcasts the dim at test SF and
+    sort-merges at 100 TB. The report a pipeline gates ingestion on;
+    all metrics are exact integer counts, trivially engine-identical."""
+    from gibbon_spark.sources.tables import load_table
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # ONE left join + ONE aggregate computes all five metrics (the FK
+    # orphan count is a conditional count over the join's null side), so
+    # no 1-row × 1-row combine join is needed at the end — a constant-key
+    # or cross join there would plan as a nested loop.
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left"
+    )
+    pk = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpos"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("n_bad_date"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orphans"),
+    )
+    checks = pk.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pk_unique_orderkey").alias("check_name"),
+                    (F.col("n_rows") - F.col("n_keys")).alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                ),
+                F.struct(
+                    F.lit("custkey_not_null").alias("check_name"),
+                    (F.col("n_rows") - F.col("nn_cust")).alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                ),
+                F.struct(
+                    F.lit("totalprice_positive").alias("check_name"),
+                    F.col("n_nonpos").alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_range").alias("check_name"),
+                    F.col("n_bad_date").alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                ),
+                F.struct(
+                    F.lit("fk_orders_customer").alias("check_name"),
+                    F.col("n_orphans").alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                ),
+            )
+        ).alias("r")
+    )
+    return (
+        checks.select(
+            "r.check_name",
+            "r.observed",
+            "r.threshold",
+            F.when(F.col("r.observed") <= F.col("r.threshold"), "pass")
+            .otherwise("fail")
+            .alias("status"),
+        )
+        .orderBy("check_name")
+    )
