@@ -1,12 +1,17 @@
 """Multimodal columns (north-star addition): image/audio/video payloads
 as opaque ``binary`` columns with a typed metadata struct.
 
-The decode/feature-extract stages that need media libraries (PIL,
-ffmpeg, torchaudio …) are STUBBED — this container has none of them —
-but everything Spark-side is real and tested: the schema, the Arrow
-batch shape through ``mapInPandas``, the partitioning guidance, and a
-deterministic fake feature path so downstream operators (embedding
-similarity, dedup) can be exercised end-to-end.
+Decode/resize run REAL pixel math on ``gsraw`` — the engine's synthetic
+raw-bitmap format (payload bytes = row-major 8-bit grayscale pixels,
+tiled cyclically to width×height) — so bytes→array decode, nearest-
+neighbor resampling, and luminance reductions are genuine vectorized
+numpy over the Arrow batch path, and every emitted number is
+SQL-replayable (integer pixel sums). Only codecs needing external
+libraries (jpeg/png via PIL/libjpeg, ffmpeg for video, model runtimes
+for features) raise ``NotImplementedError`` — this container has none
+of them; the feature extractor ships a deterministic md5-seeded fake
+vector so downstream operators (embedding similarity, dedup) stay
+exercisable end-to-end.
 
 Layout guidance at 100 TB: keep payload bytes in their own column so
 Parquet column pruning skips them for metadata-only queries; partition
@@ -104,18 +109,29 @@ _DECODE_SCHEMA = (
     "media_id long, width int, height int, n_pixels long, mean_luma double"
 )
 
+_RESIZE_SCHEMA = (
+    "media_id long, out_w int, out_h int, resized_mean_luma double"
+)
 
-def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
-    """Image decode through the REAL Arrow batch path (mapInPandas over
-    the payload column, one numpy pass per batch). The pixel source is a
-    clearly-marked STUB — this container has no PIL/libjpeg — standing
-    in deterministic md5-seeded luma for the decoded bitmap; everything
-    else (schema, batch shape, meta handling, vectorized math) is the
-    production plumbing."""
-    if not fake:
+
+def decode_image(media: DataFrame, *, codec: str = "gsraw") -> DataFrame:
+    """Image decode through the REAL Arrow batch path: mapInPandas over
+    the payload column, one vectorized numpy pass per batch.
+
+    ``gsraw`` is this engine's synthetic raw-bitmap format — payload
+    bytes ARE the 8-bit grayscale pixels, row-major, tiled cyclically
+    when the payload is shorter than width×height — so the decode is a
+    genuine bytes→pixel-array transform with real reductions (mean
+    luminance over the actual pixel buffer), not a hash stub, and the
+    arithmetic is exactly replayable by the SQL oracle (integer pixel
+    sums < 2^53 are exact in float64). Container formats that need
+    external codecs (jpeg/png via PIL/libjpeg) are not available in
+    this container and raise."""
+    if codec != "gsraw":
         raise NotImplementedError(
-            "real image decode requires PIL/libjpeg — not available in "
-            "this container; fake=True exercises identical plumbing"
+            f"codec {codec!r} requires PIL/libjpeg — not available in "
+            "this container; 'gsraw' runs the identical plumbing with a "
+            "real bytes->pixels decode"
         )
     imgs = media.filter(F.col("modality") == "image").select(
         "media_id",
@@ -125,19 +141,21 @@ def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
             lumas = []
-            for payload in pdf["payload"]:
-                b = bytes(payload) if payload is not None else b""
-                # STUB pixel source: first md5 byte as mean luminance —
-                # a real decoder would produce the pixel array here
-                lumas.append(hashlib.md5(b).digest()[0] / 255.0)
+            for payload, w, h in zip(
+                pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                b = bytes(payload) if payload is not None else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = int(w) * int(h)
+                pixels = arr[np.arange(n, dtype=np.int64) % len(arr)]
+                lumas.append(float(pixels.sum(dtype=np.int64)) / n)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -152,6 +170,62 @@ def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
             )
 
     return imgs.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+def resize_image(
+    media: DataFrame, *, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving nearest-neighbor RESAMPLE of gsraw images —
+    the pixel half of the resize stage (resize_plan computes the
+    metadata half). Output dims follow resize_plan's floor rule; each
+    output pixel (y, x) reads source pixel ((y·h)//out_h, (x·w)//out_w)
+    — real gather indexing on the decoded buffer, vectorized per Arrow
+    batch. Emits the resized image's mean luminance: integer pixel sums,
+    so the value is bit-reproducible and SQL-replayable."""
+    imgs = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    tw, th = int(target_w), int(target_h)
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_ws, out_hs, means = [], [], []
+            for payload, w, h in zip(
+                pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                b = bytes(payload) if payload is not None else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                pixels = arr[np.arange(w * h, dtype=np.int64) % len(arr)]
+                img = pixels.reshape(h, w)
+                scale = min(tw / w, th / h)
+                ow, oh = int(w * scale), int(h * scale)
+                sy = (np.arange(oh, dtype=np.int64) * h) // oh
+                sx = (np.arange(ow, dtype=np.int64) * w) // ow
+                resized = img[sy[:, None], sx[None, :]]
+                out_ws.append(ow)
+                out_hs.append(oh)
+                means.append(
+                    float(resized.sum(dtype=np.int64)) / (ow * oh)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_ws,
+                    "out_h": out_hs,
+                    "resized_mean_luma": means,
+                }
+            )
+
+    return imgs.mapInPandas(resample, _RESIZE_SCHEMA)
 
 
 def resize_plan(

@@ -958,37 +958,86 @@ def q_udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_resize",
     """
     WITH m AS (
-      SELECT doc_id AS media_id,
+      SELECT doc_id AS media_id, text,
              octet_length(encode(text)) AS L
       FROM documents WHERE doc_id % 3 = 0
     ),
-    dims AS (
-      SELECT media_id,
+    geo AS (
+      SELECT media_id, text, L,
              CAST(16 + L % 320 AS INT) AS width,
              CAST(16 + (L * 7) % 240 AS INT) AS height
       FROM m
+    ),
+    geo2 AS (
+      SELECT *, CAST(width AS BIGINT) * height AS n_pixels,
+             CAST(floor(width  * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+             CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h
+      FROM geo
+    ),
+    sums AS (
+      SELECT *,
+             list_sum(list_transform(range(1, L + 1),
+                      i -> ord(substr(text, CAST(i AS INT), 1)))) AS s_all,
+             n_pixels // L AS full_cycles,
+             n_pixels % L AS rem
+      FROM geo2
+    ),
+    m1 AS (
+      SELECT *,
+             CASE WHEN rem = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, rem + 1),
+                       i -> ord(substr(text, CAST(i AS INT), 1)))) END AS s_prefix
+      FROM sums
+    ),
+    rs AS (
+      SELECT media_id,
+             list_sum(list_transform(range(0, CAST(out_h AS BIGINT) * out_w),
+               idx -> ord(substr(text,
+                 CAST((((((idx // out_w) * height) // out_h) * width
+                        + (((idx % out_w) * width) // out_w)) % L) AS INT) + 1,
+                 1)))) AS s_resized
+      FROM m1
     )
-    SELECT media_id, width, height,
-           CAST(width AS BIGINT) * height AS n_pixels,
-           CAST(floor(width  * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
-           CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h
-    FROM dims
+    SELECT m1.media_id, m1.width, m1.height, m1.n_pixels, m1.out_w, m1.out_h,
+           round((m1.full_cycles * m1.s_all + m1.s_prefix)
+                 / CAST(m1.n_pixels AS DOUBLE) + 1e-9, 6) AS mean_luma,
+           round(rs.s_resized / (CAST(m1.out_w AS DOUBLE) * m1.out_h) + 1e-9, 6)
+             AS resized_mean_luma
+    FROM m1 JOIN rs USING (media_id)
     """,
 )
 def q_multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image branch of the media pipeline: decode (mapInPandas Arrow
-    plumbing, stubbed pixel source) + aspect-preserving resize plan.
-    The oracle recomputes the deterministic metadata formulas and the
-    resize math; the stub-only column (mean_luma) is pytest-asserted
-    instead (tests/test_multimodal.py)."""
+    """Image branch of the media pipeline, now with REAL pixel math:
+    gsraw decode (payload bytes → tiled grayscale buffer), mean
+    luminance over the actual pixels, aspect-preserving resize plan,
+    and a nearest-neighbor RESAMPLE whose gather indexing runs
+    vectorized numpy per Arrow batch. The oracle replays the decode
+    closed-form (full_cycles·Σbytes + prefix sum) and the resample
+    pixel-by-pixel via the identical (y·h)//out_h, (x·w)//out_w index
+    math — integer sums, so both luminance columns are bit-exact, not
+    plumbing-only."""
     from gibbon_spark.operators import multimodal as mm
 
     (docs,) = _prep(spark, sf_dir, "documents")
     media = mm.documents_as_mixed_media(docs)
-    decoded = mm.decode_image(media).select("media_id", "n_pixels")
+    decoded = mm.decode_image(media).select("media_id", "n_pixels", "mean_luma")
     plan = mm.resize_plan(media)
-    return plan.join(decoded, "media_id").select(
-        "media_id", "width", "height", "n_pixels", "out_w", "out_h"
+    resized = mm.resize_image(media).select("media_id", "resized_mean_luma")
+    return (
+        plan.join(decoded, "media_id")
+        .join(resized, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_pixels",
+            "out_w",
+            "out_h",
+            F.round(F.col("mean_luma") + F.lit(1e-9), 6).alias("mean_luma"),
+            F.round(F.col("resized_mean_luma") + F.lit(1e-9), 6).alias(
+                "resized_mean_luma"
+            ),
+        )
     )
 
 

@@ -30,7 +30,7 @@ def test_media_schema(media):
 
 def test_real_decoder_paths_raise(media):
     with pytest.raises(NotImplementedError):
-        mm.decode_image(media, fake=False)
+        mm.decode_image(media, codec="jpeg")
     with pytest.raises(NotImplementedError):
         mm.extract_features(media, fake=False)
 
@@ -55,7 +55,9 @@ def test_mixed_media_modalities(mixed):
             assert (r.meta.n_frames is not None) == (expect == "video")
 
 
-def test_decode_image_stub_plumbing(mixed):
+def test_decode_image_gsraw_pixels(mixed):
+    """gsraw decode must equal an independent pure-python rendering of
+    the format spec: payload bytes tiled row-major to width x height."""
     out = {r.media_id: r for r in mm.decode_image(mixed).collect()}
     src = {r.media_id: r for r in mixed.collect() if r.modality == "image"}
     assert set(out) == set(src)
@@ -63,8 +65,30 @@ def test_decode_image_stub_plumbing(mixed):
         meta = src[mid].meta
         assert (r.width, r.height) == (meta.width, meta.height)
         assert r.n_pixels == meta.width * meta.height
-        expected_luma = hashlib.md5(bytes(src[mid].payload)).digest()[0] / 255.0
-        assert abs(r.mean_luma - expected_luma) < 1e-12
+        b = bytes(src[mid].payload)
+        n = meta.width * meta.height
+        expected = sum(b[i % len(b)] for i in range(n)) / n
+        assert abs(r.mean_luma - expected) < 1e-9
+
+
+def test_resize_image_nearest_neighbor(mixed):
+    """Resampled mean must equal a pure-python nearest-neighbor gather
+    over the same tiled pixel buffer, and dims must match resize_plan."""
+    plan = {r.media_id: r for r in mm.resize_plan(mixed).collect()}
+    out = {r.media_id: r for r in mm.resize_image(mixed).collect()}
+    src = {r.media_id: r for r in mixed.collect() if r.modality == "image"}
+    assert set(out) == set(plan) == set(src)
+    for mid, r in out.items():
+        assert (r.out_w, r.out_h) == (plan[mid].out_w, plan[mid].out_h)
+        b = bytes(src[mid].payload)
+        w, h = src[mid].meta.width, src[mid].meta.height
+        px = lambda i: b[i % len(b)]  # noqa: E731
+        total = 0
+        for y in range(r.out_h):
+            for x in range(r.out_w):
+                total += px(((y * h) // r.out_h) * w + ((x * w) // r.out_w))
+        expected = total / (r.out_w * r.out_h)
+        assert abs(r.resized_mean_luma - expected) < 1e-9
 
 
 def test_resize_plan_aspect_preserving(mixed):
