@@ -2233,3 +2233,77 @@ def q_text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "multimodal_audio_stats",
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS L,
+             1000 + (octet_length(encode(text)) % 50) * 200 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    geo AS (
+      SELECT media_id, text, L,
+             CAST(duration_ms AS BIGINT) * 16000 // 1000 AS n_samples
+      FROM a
+    ),
+    sums AS (
+      SELECT media_id, text, L, n_samples,
+             n_samples // L AS full_cycles,
+             n_samples % L AS rem,
+             list_sum(list_transform(range(1, L + 1),
+                 i -> ord(substr(text, CAST(i AS INT), 1)) - 128)) AS s1,
+             list_sum(list_transform(range(1, L + 1),
+                 i -> (ord(substr(text, CAST(i AS INT), 1)) - 128)
+                      * (ord(substr(text, CAST(i AS INT), 1)) - 128))) AS s2,
+             list_max(list_transform(range(1, L + 1),
+                 i -> abs(ord(substr(text, CAST(i AS INT), 1)) - 128))) AS pk_all
+      FROM geo
+    ),
+    pre AS (
+      SELECT *,
+             CASE WHEN rem = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, rem + 1),
+                       i -> ord(substr(text, CAST(i AS INT), 1)) - 128)) END AS p1,
+             CASE WHEN rem = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, rem + 1),
+                       i -> (ord(substr(text, CAST(i AS INT), 1)) - 128)
+                            * (ord(substr(text, CAST(i AS INT), 1)) - 128))) END
+                    AS p2,
+             CASE WHEN n_samples >= L THEN pk_all
+                  ELSE list_max(list_transform(range(1, CAST(n_samples AS BIGINT) + 1),
+                       i -> abs(ord(substr(text, CAST(i AS INT), 1)) - 128))) END
+                    AS peak
+      FROM sums
+    )
+    SELECT media_id, n_samples,
+           round((full_cycles * s1 + p1) / CAST(n_samples AS DOUBLE) + 1e-9, 6)
+             AS mean_level,
+           round(sqrt((full_cycles * s2 + p2) / CAST(n_samples AS DOUBLE))
+                 + 1e-9, 6) AS rms,
+           CAST(peak AS INT) AS peak
+    FROM pre
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch with REAL waveform math: gsraw-audio decode (payload
+    bytes = unsigned 8-bit PCM, center 128, tiled to duration x
+    sample_rate samples) with mean level, RMS, and peak reduced over the
+    actual sample buffer — vectorized numpy per Arrow batch, the
+    loudness-normalization scan an audio training pipeline runs. The
+    oracle replays every statistic closed-form over the tiling
+    (full_cycles x sum + prefix, integer sums exact in float64; IEEE
+    sqrt is correctly rounded), so all three are bit-exact."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm.documents_as_mixed_media(docs)
+    return mm.decode_audio(media).select(
+        "media_id",
+        "n_samples",
+        F.round(F.col("mean_level") + F.lit(1e-9), 6).alias("mean_level"),
+        F.round(F.col("rms") + F.lit(1e-9), 6).alias("rms"),
+        "peak",
+    )
