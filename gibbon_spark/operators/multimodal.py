@@ -396,3 +396,69 @@ def decode_audio(media: DataFrame) -> DataFrame:
             )
 
     return auds.mapInPandas(decode, _AUDIO_SCHEMA)
+
+
+_FRAME_LUMA_SCHEMA = (
+    "media_id long, frame_idx long, frame_ts_ms long, frame_mean_luma double"
+)
+_FRAME_BYTES = 768  # 32x24 gsraw frame
+
+
+def sample_frame_luma(
+    media: DataFrame, *, every_ms: int = 2000, max_frames: int = 5
+) -> DataFrame:
+    """Video frame DECODE with real pixel math: sample one 32×24 gsraw
+    frame every ``every_ms`` (capped at ``max_frames`` per video —
+    logged cap, the thumbnail-strip pattern), where frame f's pixels
+    are the 768 payload bytes at circular offset (f·997) mod len. The
+    frame slice + luminance reduction run vectorized numpy per Arrow
+    batch; the frame fan-out is sequence()+explode row generation (no
+    collect, bounded by duration/step). Integer pixel sums keep every
+    value SQL-replayable."""
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id",
+        "payload",
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    n_frames = F.least(
+        ((F.col("duration_ms") + every_ms - 1) / every_ms).cast("long"),
+        F.lit(int(max_frames)).cast("long"),
+    )
+    frames = vids.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "media_id",
+        "payload",
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        k = _FRAME_BYTES
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lumas = []
+            for payload, f in zip(pdf["payload"], pdf["frame_idx"]):
+                b = bytes(payload) if payload is not None else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                o = (int(f) * 997) % len(arr)
+                idx = (o + np.arange(k, dtype=np.int64)) % len(arr)
+                lumas.append(float(arr[idx].sum(dtype=np.int64)) / k)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame_mean_luma": lumas,
+                }
+            )
+
+    return frames.mapInPandas(decode, _FRAME_LUMA_SCHEMA)

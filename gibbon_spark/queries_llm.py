@@ -2307,3 +2307,49 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rms") + F.lit(1e-9), 6).alias("rms"),
         "peak",
     )
+
+
+@query(
+    "multimodal_video_frame_luma",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS L,
+             1000 + (octet_length(encode(text)) % 50) * 200 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT media_id, text, L,
+             CAST(t.f AS BIGINT) AS frame_idx,
+             CAST(t.f AS BIGINT) * 2000 AS frame_ts_ms,
+             (CAST(t.f AS BIGINT) * 997) % L AS o
+      FROM v CROSS JOIN UNNEST(range(least((duration_ms + 1999) // 2000, 5)))
+             AS t(f)
+    )
+    SELECT media_id, frame_idx, frame_ts_ms,
+           round(list_sum(list_transform(range(768),
+                 i -> ord(substr(text, CAST((o + i) % L AS INT) + 1, 1))))
+                 / 768.0 + 1e-9, 6) AS frame_mean_luma
+    FROM fr
+    """,
+)
+def q_multimodal_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video branch with REAL frame math: one 32x24 gsraw frame decoded
+    per 2 s of footage (capped at 5 per video), mean luminance reduced
+    over the actual 768-byte frame slice at circular offset
+    (frame x 997) mod len — the shot-detection / thumbnail-strip scan.
+    Completes the modality matrix: image (decode+resample), audio
+    (PCM stats), video (frame decode) all with bit-exact oracles."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm.documents_as_mixed_media(docs)
+    out = mm.sample_frame_luma(media, every_ms=2000, max_frames=5)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.round(F.col("frame_mean_luma") + F.lit(1e-9), 6).alias(
+            "frame_mean_luma"
+        ),
+    )
