@@ -1231,3 +1231,95 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+# =========================================================================
+# Training-data mixture sampling (weighted source quotas)
+# =========================================================================
+
+
+@query(
+    "sample_mixture_sources",
+    """
+    WITH pool AS (
+      SELECT source, CAST(substr(source, 4) AS INT) AS src_idx,
+             count(*) AS n_pool
+      FROM documents GROUP BY source
+    ),
+    quota1 AS (
+      SELECT source, n_pool, 20 - src_idx AS w,
+             sum(20 - src_idx) OVER () AS w_sum
+      FROM pool
+    ),
+    quota AS (
+      SELECT source, n_pool, w, w_sum,
+             min((n_pool * w_sum) // w) OVER () AS n_mix
+      FROM quota1
+    ),
+    q2 AS (
+      SELECT source, n_pool, w, (w * n_mix) // w_sum AS k_quota FROM quota
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT q2.source, q2.n_pool, q2.w, q2.k_quota,
+           count(CASE WHEN r.rk <= q2.k_quota THEN 1 END) AS n_kept
+    FROM q2 JOIN ranked r ON q2.source = r.source
+    GROUP BY q2.source, q2.n_pool, q2.w, q2.k_quota
+    ORDER BY q2.source
+    """,
+)
+def q_sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXTURE application: given per-source integer
+    weights (here w = 20 − source index), compute the largest feasible
+    mixture N = min_i floor(n_i·W/w_i), per-source quotas
+    k_i = floor(w_i·N/W), and select exactly k_i docs per source by
+    md5-rank — the DoReMi-style reweighting step that turns mixture
+    weights into an actual deterministic sample. ALL arithmetic is
+    integer (exact under any aggregation order — no float share in
+    sight), so quotas replay bit-for-bit. Plan: a source-count
+    aggregate, two whole-frame windows over the SOURCE frame (bounded
+    by the source catalog, ~dozens of rows at any corpus size),
+    broadcast back, one ranked window with WindowGroupLimit capping
+    per-task state at k."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    pool = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_pool"))
+    pool = pool.withColumn("w", F.lit(20) - src_idx)
+    w_all = Window.partitionBy()
+    # NB: Spark's resolver is case-insensitive — "W" would collide with
+    # "w", so the totals get distinct names.
+    quota = (
+        pool.withColumn("w_sum", F.sum("w").over(w_all))
+        .withColumn(
+            "n_mix",
+            F.min(
+                F.floor(F.col("n_pool") * F.col("w_sum") / F.col("w")).cast(
+                    "long"
+                )
+            ).over(w_all),
+        )
+        .withColumn(
+            "k_quota",
+            F.floor(F.col("w") * F.col("n_mix") / F.col("w_sum")).cast("long"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w_rank).alias("rk")
+    )
+    return (
+        quota.select("source", "n_pool", "w", "k_quota")
+        .join(ranked, "source")
+        .groupBy("source", "n_pool", "w", "k_quota")
+        .agg(
+            F.count(F.when(F.col("rk") <= F.col("k_quota"), 1)).alias("n_kept")
+        )
+        .orderBy("source")
+    )
