@@ -2779,6 +2779,34 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+
+
+class _replay_width:
+    """Pin a BOUNDED state/shuffle width for an availableNow replay.
+
+    Structured Streaming fixes the state-store partition count from
+    ``spark.sql.shuffle.partitions`` at query START and keeps it for the
+    checkpoint's lifetime. The session default (sized for batch scans on
+    the whole machine) gives every stateful operator that many RocksDB/
+    memory stores and per-trigger tasks — pure overhead when a replay's
+    state is a few thousand keys (measured 8 -> 2.8 s vs 32 -> 8-15 s on
+    the stream-stream join at sf0.1). Production streams size this to
+    key cardinality x throughput when the job is created; 8 is the
+    replay-volume choice, NOT a global default."""
+
+    def __init__(self, spark: SparkSession, parts: int = 8) -> None:
+        self.spark, self.parts = spark, parts
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 @query(
     "streaming_hourly_rollup",
     f"""
@@ -2805,14 +2833,15 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("value")).alias("sum_value"),
     )
     name = f"_gs_stream_rollup_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select(
         F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value"
     )
@@ -3086,14 +3115,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
     ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
     name = f"_gs_stream_sessions_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select("user_id", "session_start", "n_events")
 
 
@@ -3548,14 +3578,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     name = f"_gs_stream_dedup_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3765,14 +3796,15 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     name = f"_gs_stream_stateful_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        tracked.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)

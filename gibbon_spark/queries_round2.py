@@ -24,6 +24,7 @@ from gibbon_spark.queries import (
     _STREAM_SINK_SEQ,
     _events_stream,
     _prep,
+    _replay_width,
     money_sum,
     money_sum_sql,
     query,
@@ -443,14 +444,15 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", F.col("click_id_right").alias("click_id")
     )
     name = f"_gs_stream_ij_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -693,14 +695,15 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("value")).alias("sum_value"),
     )
     name = f"_gs_stream_enrich_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _replay_width(spark):
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
