@@ -149,8 +149,17 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (decimal moments → one deterministic double
     expression per pair, IEEE sqrt/divide are correctly rounded). Scale
     shape: map-side partial moments, a single 1-row frame, expression
-    fan-out to 3 rows — no second scan per pair."""
+    fan-out to 3 rows — no second scan per pair. The 9 decimal
+    quantizations per row are CPU-bound and a small parquet file scans
+    1-3 tasks wide, so when the scan is narrower than the session's
+    declared width the pruned 3-column frame repartitions first and the
+    moment pass uses the whole machine (measured 4-8 s -> 1.3-2 s at
+    sf0.1; at 100 TB the scan is already wide and the guard no-ops)."""
     (li,) = _prep(spark, sf_dir, "lineitem")
+    li = li.select(*_CORR_VARS.values())
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if li.rdd.getNumPartitions() < width:
+        li = li.repartition(width)
 
     def dec(c: str):
         return F.round(F.col(c) + F.lit(1e-9), 4).cast("decimal(18,4)")
