@@ -821,7 +821,10 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL estimate made oracle-checkable: Spark computes BOTH the
-    exact distinct count and the HLL++ sketch (rsd=0.01) and emits the
+    exact distinct count and the HLL++ sketch (rsd=0.02 — 2.5 sigma
+    inside the 5%% tolerance, and 4x smaller registers than rsd=0.01,
+    which dominated this query's wall time for no extra assurance) and
+    emits the
     invariant ``|approx - exact| / exact <= 0.05`` as a boolean; the
     oracle emits the exact counts plus literal TRUE. Hash equality then
     proves the sketch landed within 5x its configured error — the
@@ -831,7 +834,7 @@ def q_agg_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _prep(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custs"),
-        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
     )
     return agg.select(
         "o_orderpriority",
