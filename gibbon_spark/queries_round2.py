@@ -1335,3 +1335,73 @@ def q_sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# =========================================================================
+# Time-weighted average (irregular-sample TSDB aggregate)
+# =========================================================================
+
+
+@query(
+    "ts_time_weighted_avg",
+    """
+    WITH w AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS dt,
+             CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)) AS v4
+      FROM w WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           sum(dt) AS covered_s,
+           round(CAST(sum(v4 * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                 + 1e-9, 6) AS twa
+    FROM seg
+    WHERE dt > 0
+    GROUP BY user_id
+    """,
+)
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average per series (TimescaleDB's flagship
+    irregular-sample aggregate): each observation holds until the next
+    one (LOCF weighting), so the mean is sum(v_i * dt_i) / sum(dt_i) —
+    the correct answer when a sensor reports on change, where a plain
+    avg() over-weights chatty periods. dt is integer seconds and v is
+    4-dp decimal, so the weighted sum is EXACT decimal x integer under
+    any aggregation order. One keyed window (lead) + one keyed
+    aggregate, both on the series key — at 100 TB they share one
+    partitioning."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        events.select(
+            "user_id",
+            "ts",
+            F.lead("ts").over(w).alias("nxt"),
+            F.round(F.col("value") + F.lit(1e-9), 4)
+            .cast("decimal(24,4)")
+            .alias("v4"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            "v4",
+            (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("dt"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").alias("covered_s"),
+        F.round(
+            F.sum(F.col("v4") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("twa"),
+    )
