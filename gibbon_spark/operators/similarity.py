@@ -285,24 +285,36 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("_vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    hydrated = (
-        cand.join(vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va")), "id_a")
-        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb")), "id_b")
-    )
-
     def fold_dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
         )
 
-    cos = fold_dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(fold_dot(F.col("va"), F.col("va")))
-        * F.sqrt(fold_dot(F.col("vb"), F.col("vb")))
+    # norms fold ONCE per vector (higher-order array expressions are
+    # interpreted, not codegen — per-pair norms would triple that cost
+    # over the candidate set); the per-pair work is the single dot fold.
+    # sqrt(fold(v,v)) here is the same double as the oracle's per-pair
+    # sqrt(list_dot_product(b.v, b.v)) — identical fold on the same
+    # array — so parity is unaffected.
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        dvec.alias("_v"),
+        F.sqrt(fold_dot(dvec, dvec)).alias("_n"),
     )
+    hydrated = cand.join(
+        vecs.select(
+            F.col("_vid").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("_vid").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        ),
+        "id_b",
+    )
+
+    cos = fold_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         hydrated.select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
