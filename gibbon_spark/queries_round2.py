@@ -1405,3 +1405,158 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa"),
     )
+
+
+# =========================================================================
+# Temporal anti-join: abandonment detection
+# =========================================================================
+
+
+@query(
+    "funnel_abandoned_clicks",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q_funnel_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join (the abandonment pattern): clicks with NO
+    same-user purchase in the following 30 minutes — the negation
+    counterpart of funnel_conversion and streaming_interval_join, and a
+    relational shape of its own: LEFT ANTI on an equi key PLUS a range
+    conjunct. Spark plans it as a sort-merge anti join on user_id with
+    the time predicate evaluated inside the merge — one keyed shuffle
+    per side, no nested loop, which is what keeps NOT EXISTS over a
+    time window viable at 10^10 events."""
+    (events,) = _prep(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "left_anti").select(
+        "user_id", "click_id", "click_ts"
+    )
+
+
+# =========================================================================
+# SAX symbolization (symbolic aggregate approximation)
+# =========================================================================
+
+
+@query(
+    "ts_sax_words",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)) AS r4
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, count(*) AS n, CAST(sum(r4) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE)
+                                 + 1e-9, 8) AS DECIMAL(30,8))) AS DOUBLE) AS ss
+      FROM r GROUP BY user_id
+    ),
+    z AS (
+      SELECT r.user_id,
+             ntile(8) OVER (PARTITION BY r.user_id
+                            ORDER BY r.ts, r.event_id) AS segment,
+             CAST(round(
+               (CAST(r.r4 AS DOUBLE) - st.s / CAST(st.n AS DOUBLE))
+               / sqrt(greatest(st.ss / CAST(st.n AS DOUBLE)
+                               - (st.s / CAST(st.n AS DOUBLE))
+                                 * (st.s / CAST(st.n AS DOUBLE)), 1e-12))
+               + 1e-9, 6) AS DECIMAL(20,6)) AS z6
+      FROM r JOIN st ON r.user_id = st.user_id
+    ),
+    seg AS (
+      SELECT user_id, segment,
+             CAST(sum(z6) AS DOUBLE) / count(*) AS seg_mean
+      FROM z GROUP BY user_id, segment
+    ),
+    sym AS (
+      SELECT user_id, segment,
+             CASE WHEN seg_mean < -0.6745 THEN 'a'
+                  WHEN seg_mean < 0.0     THEN 'b'
+                  WHEN seg_mean < 0.6745  THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM seg
+    )
+    SELECT user_id, string_agg(symbol, '' ORDER BY segment) AS sax_word
+    FROM sym GROUP BY user_id
+    """,
+)
+def q_ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): z-normalize each series
+    from exact decimal moments, PAA into 8 equal-count segments
+    (ntile over the ordered series), map each segment mean onto the
+    4-letter Gaussian-breakpoint alphabet, and emit the per-series SAX
+    word — the discretization behind motif discovery and symbolic
+    indexing of time series. Per-row z-scores are 6-dp-quantized
+    decimals so segment means are association-order-free; breakpoint
+    comparison and letter assignment are then deterministic on both
+    engines. Two keyed shuffles (stats, window+segment agg) — both on
+    the series key."""
+    (events,) = _prep(spark, sf_dir, "events")
+    r4 = F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+    r = events.select("event_id", "user_id", "ts", r4.alias("r4"))
+    rd = F.col("r4").cast("double")
+    sq = F.round(rd * rd + F.lit(1e-9), 8).cast("decimal(30,8)")
+    st = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r4").cast("double").alias("s"),
+        F.sum(sq).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("ss") / F.col("n").cast("double") - mean * mean, F.lit(1e-12)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    z = r.join(st, "user_id").select(
+        "user_id",
+        F.ntile(8).over(w).alias("segment"),
+        F.round(
+            (F.col("r4").cast("double") - mean) / F.sqrt(var) + F.lit(1e-9), 6
+        )
+        .cast("decimal(20,6)")
+        .alias("z6"),
+    )
+    seg = z.groupBy("user_id", "segment").agg(
+        (F.sum("z6").cast("double") / F.count(F.lit(1))).alias("seg_mean")
+    )
+    symbol = (
+        F.when(F.col("seg_mean") < -0.6745, "a")
+        .when(F.col("seg_mean") < 0.0, "b")
+        .when(F.col("seg_mean") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        seg.select("user_id", "segment", symbol.alias("symbol"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("segment", "symbol"))
+                    ),
+                    lambda x: x.getField("symbol"),
+                ),
+                "",
+            ).alias("sax_word")
+        )
+    )
