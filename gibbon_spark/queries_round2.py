@@ -1560,3 +1560,97 @@ def q_ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax_word")
         )
     )
+
+
+# =========================================================================
+# Market-basket co-occurrence (apriori-pruned pair mining)
+# =========================================================================
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_part_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    freq AS (
+      SELECT part, count(*) AS part_n FROM items GROUP BY part
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    fitems AS (
+      SELECT i.okey, i.part, f.part_n FROM items i JOIN freq f USING (part)
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             a.part_n AS n_a, b.part_n AS n_b,
+             count(*) AS support
+      FROM fitems a JOIN fitems b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part, a.part_n, b.part_n
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    tot AS (SELECT count(DISTINCT okey) AS n_orders FROM items)
+    SELECT part_a, part_b, support,
+           round(CAST(support AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) + 1e-9, 6)
+             AS lift
+    FROM pairs, tot t
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining with APRIORI pruning: parts
+    co-purchased in the same order, restricted to items that are
+    individually frequent BEFORE the self-join (the apriori property:
+    no pair can beat the support floor if either member misses it), so
+    the pair join runs on the pruned item table — the pruning is what
+    keeps co-occurrence mining feasible when a popular item appears in
+    10^8 baskets. Emits support and lift (= support x N / (n_a x n_b),
+    exact integer ratios). One distinct pass, one frequency aggregate,
+    a keyed self-join on the basket id, and a 1-row total broadcast."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    freq = (
+        items.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("part_n"))
+        .filter(F.col("part_n") >= _BASKET_MIN_SUPPORT)
+    )
+    fitems = items.join(freq, "part")
+    a = fitems.select(
+        F.col("okey"), F.col("part").alias("part_a"), F.col("part_n").alias("n_a")
+    )
+    b = fitems.select(
+        F.col("okey"), F.col("part").alias("part_b"), F.col("part_n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    tot = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(50)
+    )

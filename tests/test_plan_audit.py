@@ -18,6 +18,7 @@ ALLOWED_NESTED_LOOP = {
     "bm25_search",
     "token_drift_splits",
     "equi_depth_bins",
+    "basket_part_pairs",
 }
 
 
