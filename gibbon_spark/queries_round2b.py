@@ -1,0 +1,498 @@
+"""Round-2 batch B registry additions — RAG/document preparation and
+interval analytics:
+
+- ``chunk_documents_overlap``: fixed-token-window chunking with overlap
+  (the RAG / context-window preprocessing step),
+- ``dedup_exact_substring``: stride-sampled exact substring duplication
+  scan (the Lee-et-al-style "duplicated span" signal, cross-document),
+- ``vocab_coverage_oov``: vocabulary build on the train split + OOV-rate
+  audit on held-out splits (tokenizer-coverage check before training),
+- ``interval_coverage_union``: per-user union length of overlapping
+  activity intervals (sweep-line islands, all keyed windows).
+
+Same contract as :mod:`gibbon_spark.queries`: each Spark plan is paired
+with a DuckDB oracle that replays the identical arithmetic so the
+driver's value-hash compare is deterministic at any parallelism.
+
+Reference scope note: the reference (johshoff/gibbon) is a time-series
+codec library (``src/timestamp_stream.rs``, ``src/double_stream.rs``);
+none of these operators exist there — they are requested engine surface
+beyond the reference (SURVEY.md §2.2: LLM-pipeline text/dedup rows and
+the time-series analytics row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gibbon_spark.queries import _prep, query
+
+# =========================================================================
+# RAG chunking: fixed token windows with overlap
+# =========================================================================
+
+_CHUNK_TOKENS = 16
+_CHUNK_STRIDE = 12  # 4-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(toks[start:start + {_CHUNK_TOKENS} - 1]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[start:start + {_CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+           md5(array_to_string(toks[start:start + {_CHUNK_TOKENS} - 1], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    ``_CHUNK_TOKENS``-token windows advancing by ``_CHUNK_STRIDE``
+    (4-token overlap), emitting (doc_id, chunk_id, start_token,
+    n_tokens, chunk_text, chunk_hash). Start positions run to the end of
+    the document so every token is covered; tail chunks may be shorter.
+
+    Scale posture: pure per-row array expressions (split / sequence /
+    slice / array_join, all codegen) followed by one explode — a narrow
+    map with NO shuffle at all; at 100 TB this runs at scan speed and
+    the output partitioning inherits the input's. The chunk_hash column
+    is the downstream join/dedup key so consumers never shuffle the
+    chunk text itself."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_TOKENS)
+    chunk_text = F.array_join(chunk, " ")
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start_token"),
+            F.size(chunk).alias("n_tokens"),
+            chunk_text.alias("chunk_text"),
+            F.md5(chunk_text).alias("chunk_hash"),
+        )
+    )
+
+
+# =========================================================================
+# Exact-substring duplication scan (stride-sampled character windows)
+# =========================================================================
+
+_SUB_W = 24  # window width in characters
+_SUB_S = 8  # stride between window starts
+
+
+@query(
+    "dedup_exact_substring",
+    f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - {_SUB_W} + 1, 1) + 1,
+                          {_SUB_S})) AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, md5(substr(text, CAST(pos AS INTEGER), {_SUB_W})) AS wh
+      FROM p
+    ),
+    d AS (
+      SELECT wh, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY wh
+    )
+    SELECT h.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS dup_fraction
+    FROM h JOIN d USING (wh)
+    GROUP BY h.doc_id
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scan (the cross-document duplicated-
+    span signal behind suffix-array training-data dedup, computed on
+    stride-sampled windows): hash every 24-char window starting at
+    positions 1, 9, 17, ...; a window is *duplicated* when the identical
+    bytes appear in more than one distinct document. Emits per-document
+    window counts and the duplicated-window fraction — the score a
+    span-level dedup pass would threshold on.
+
+    Scale posture: the stride bounds blow-up at chars/8 rows (a
+    full suffix array is chars rows); windows carry (doc_id, hash) only
+    — never the text — so the shuffles move 40-byte rows. Plan is
+    distinct → count per hash → hash-keyed join back → per-doc agg: all
+    keyed shuffles with map-side combine. A boilerplate window shared by
+    millions of docs is ONE counter row in `d`, not a join blow-up,
+    because the join back is per-(window, hash) — each doc's window
+    matches exactly one `d` row."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - _SUB_W + 1, F.lit(1)),
+        F.lit(_SUB_S),
+    )
+    wins = docs.select(
+        "doc_id", F.explode(starts).alias("pos"), F.col("text")
+    ).select(
+        "doc_id",
+        F.md5(F.expr(f"substr(text, pos, {_SUB_W})")).alias("wh"),
+    )
+    per_hash = (
+        wins.select("wh", "doc_id")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    flagged = wins.join(per_hash, "wh").select(
+        "doc_id", (F.col("n_docs") > 1).cast("long").alias("dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("dup").alias("n_dup_windows"),
+        F.round(
+            F.sum("dup").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("dup_fraction"),
+    )
+
+
+# =========================================================================
+# Vocabulary coverage / OOV audit
+# =========================================================================
+
+_VOCAB_SIZE = 256
+
+
+@query(
+    "vocab_coverage_oov",
+    f"""
+    WITH tok AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 100 AS bucket,
+             unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok WHERE bucket < 80
+      GROUP BY token
+      ORDER BY count(*) DESC, token
+      LIMIT {_VOCAB_SIZE}
+    ),
+    val AS (
+      SELECT lang, token FROM tok WHERE bucket >= 80
+    )
+    SELECT val.lang,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) AS oov_rate
+    FROM val LEFT JOIN vocab USING (token)
+    GROUP BY val.lang
+    """,
+)
+def q_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build a 256-entry vocabulary from the
+    TRAIN split (same md5-bucket 80/10/10 discipline as
+    sample_split_hash — membership is engine-replayable and stable as
+    the corpus grows), then measure per-language out-of-vocabulary token
+    rate on the held-out 20%. The pre-training sanity check that a
+    tokenizer/vocab shipped for a 100 TB corpus actually covers the
+    held-out distribution.
+
+    Scale posture: vocab selection is one token-count aggregate followed
+    by a bounded global top-K (TakeOrdered — K rows to the driver, not a
+    global sort); the coverage join BROADCASTS the 256-row vocab, so the
+    held-out scan never shuffles its tokens. Tie-break on (count desc,
+    token asc) keeps the vocab deterministic."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    tok = docs.select(
+        "lang",
+        bucket.alias("bucket"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+    )
+    vocab = (
+        tok.filter(F.col("bucket") < 80)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    val = tok.filter(F.col("bucket") >= 80).select("lang", "token")
+    joined = val.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(oov).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("oov_rate"),
+    )
+
+
+# =========================================================================
+# Interval union (sweep-line islands) per user
+# =========================================================================
+
+_IVL_SECONDS = 300  # each event opens a [ts, ts+300s) activity interval
+
+
+@query(
+    "interval_coverage_union",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + {_IVL_SECONDS} AS f
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, f,
+             CASE WHEN s > coalesce(
+               max(f) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS new_island
+      FROM e
+    ),
+    islands AS (
+      SELECT user_id, s, f,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS start_s, max(f) AS end_s, count(*) AS n
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_islands,
+           CAST(sum(end_s - start_s) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user (sweep-line): each
+    event opens a [ts, ts+300s) activity interval; touching/
+    overlapping intervals merge into islands; emits per-user event,
+    island, and total covered-second counts. The classic "how long was
+    the user actually active" computation that naive sum-of-durations
+    double-counts.
+
+    Scale posture: both windows and both aggregates share ONE hash
+    partitioning on user_id — Catalyst reuses the exchange, so the whole
+    sweep is a single shuffle of (user, 2 longs). The island flag needs
+    the running max of interval ends, which is order-defined; the
+    secondary sort key (event_id) pins tie order so the result is
+    bit-stable at any parallelism. Epoch-second BIGINT arithmetic keeps
+    every figure integer-exact."""
+    (events,) = _prep(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + _IVL_SECONDS).alias("f"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "s",
+        "f",
+        (F.col("s") > F.coalesce(F.max("f").over(w_prev), F.lit(-1)))
+        .cast("long")
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "f", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_s"),
+        F.max("f").alias("end_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("end_s") - F.col("start_s")).cast("bigint").alias(
+            "covered_seconds"
+        ),
+    )
+
+
+# =========================================================================
+# Heavy hitters: Misra-Gries sketch candidates + exact verification
+# =========================================================================
+
+_MG_K = 64  # heavy-hitter threshold: count > N/_MG_K
+
+
+@query(
+    "heavy_hitters_mg",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, count(*) AS n_occurrences
+    FROM tok GROUP BY token
+    HAVING count(*) * {_MG_K} > (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, token
+    """,
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with count > N/64) via the sketch-then-
+    verify pattern: a per-partition Misra-Gries summary (capacity 64,
+    Arrow-batched mapInPandas keeping ONE dict per partition) nominates
+    candidates, then only the candidates are exactly counted and
+    thresholded. The MG union guarantee makes the output EXACT: if a
+    token's global count exceeds N/64 then in at least one partition its
+    local count exceeds N_p/64 (otherwise summing the per-partition
+    bounds contradicts the global count), so it appears in that
+    partition's summary — no false negatives, and the exact recount
+    eliminates false positives.
+
+    Scale posture: the token stream is never shuffled — the sketch is a
+    narrow map emitting <= 64 rows per partition, candidates collapse to
+    a <= 64 x n_partitions distinct set that BROADCASTS back onto the
+    second scan, and the exact count aggregates only candidate rows.
+    The 1-row total joins via broadcast (allow-listed O(n) nested loop,
+    same pattern as tfidf_top_terms). Threshold compares
+    count * 64 > N in integers — no division, bit-exact."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _MG_K:
+                    counters[t] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in dead:
+                        del counters[k]
+                    for k in counters:
+                        counters[k] -= 1
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tok.mapInPandas(mg_partition, "token string").distinct()
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(tot))
+        .filter(F.col("n_occurrences") * _MG_K > F.col("n_total"))
+        .select("token", "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
+
+
+# =========================================================================
+# Key-skew diagnostics (the pre-flight check before a big keyed join)
+# =========================================================================
+
+_SKEW_TOPN = 10
+
+
+@query(
+    "skew_key_stats",
+    f"""
+    WITH per_key AS (
+      SELECT l_suppkey AS suppkey, count(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+             max(cnt) AS max_cnt
+      FROM per_key
+    )
+    SELECT suppkey, cnt,
+           round(CAST(cnt AS DOUBLE) / total_rows + 1e-9, 6) AS share,
+           n_keys, total_rows,
+           round(CAST(cnt AS DOUBLE) * n_keys / total_rows + 1e-9, 4)
+             AS skew_ratio
+    FROM per_key, tot
+    ORDER BY cnt DESC, suppkey
+    LIMIT {_SKEW_TOPN}
+    """,
+)
+def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a join/aggregation key (l_suppkey): the
+    hottest keys with their row share and skew ratio (share x n_keys —
+    1.0 means perfectly uniform, >>1 means a salting candidate). This is
+    the pre-flight profile that decides between a plain shuffle join,
+    AQE skew handling, or explicit salting (operators/skew.py) before
+    launching a 100 TB join.
+
+    Scale posture: one map-side-combined count per key, a 1-row global
+    aggregate broadcast onto the bounded top-N (allow-listed O(n)
+    nested loop), and a TakeOrdered top-10 — no global sort, no
+    holistic percentile over unbounded key cardinality. All ratios are
+    single-division doubles on integer-exact counts with the repo's
+    +1e-9 half-boundary nudge."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    ).drop("max_cnt")
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "suppkey",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total_rows") + F.lit(1e-9), 6
+            ).alias("share"),
+            "n_keys",
+            "total_rows",
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows")
+                + F.lit(1e-9),
+                4,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), "suppkey")
+        .limit(_SKEW_TOPN)
+    )

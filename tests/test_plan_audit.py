@@ -19,6 +19,8 @@ ALLOWED_NESTED_LOOP = {
     "token_drift_splits",
     "equi_depth_bins",
     "basket_part_pairs",
+    "heavy_hitters_mg",
+    "skew_key_stats",
 }
 
 

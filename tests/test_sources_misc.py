@@ -98,3 +98,57 @@ def test_nested_types_parquet_roundtrip(spark):
     a = sorted(df.collect(), key=lambda r: r.id)
     b = sorted(back.collect(), key=lambda r: r.id)
     assert a == b
+
+
+def test_parquet_schema_evolution_mergeschema(spark):
+    """Schema evolution across parquet generations: an old write without
+    a column and a new write with it must union under mergeSchema, with
+    the missing column null-filled — the contract a long-lived 100 TB
+    table relies on when producers add fields."""
+    d = tempfile.mkdtemp(prefix="gibbon_evolve_")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, value double"
+    ).write.parquet(os.path.join(d, "gen=old"))
+    spark.createDataFrame(
+        [(3, 30.0, "eu"), (4, 40.0, "us")], "id long, value double, region string"
+    ).write.parquet(os.path.join(d, "gen=new"))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "gen=old"), os.path.join(d, "gen=new")
+    )
+    assert set(df.columns) >= {"id", "value", "region"}
+    rows = {r.id: r.region for r in df.collect()}
+    assert rows[1] is None and rows[3] == "eu"
+    # new-column filters stay pushdown-safe on the merged scan
+    assert df.filter(F.col("region") == "eu").count() == 1
+
+
+def test_csv_malformed_rows_permissive_vs_dropmalformed(spark):
+    """Corrupt-row policy on the CSV source: PERMISSIVE null-fills and
+    captures the raw line in _corrupt_record; DROPMALFORMED silently
+    drops — both must be deterministic, not error out mid-scan."""
+    d = tempfile.mkdtemp(prefix="gibbon_csv_bad_")
+    path = os.path.join(d, "bad.csv")
+    with open(path, "w") as f:
+        f.write("a,1,1.5\n")
+        f.write("b,not_a_number,2.5\n")
+        f.write("c,3,3.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+    # caching first is the documented way to observe _corrupt_record
+    perm = perm.cache()
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("b,")
+    perm.unpersist()
+    dropm = spark.read.schema(
+        T.StructType(schema.fields[:3])
+    ).option("mode", "DROPMALFORMED").csv(path)
+    assert {r.series_id for r in dropm.collect()} == {"a", "c"}
