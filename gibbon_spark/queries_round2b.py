@@ -496,3 +496,234 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "suppkey")
         .limit(_SKEW_TOPN)
     )
+
+
+# =========================================================================
+# Per-series linear trend fit + forecast (PromQL predict_linear analog)
+# =========================================================================
+
+_FC_HORIZON_S = 86400  # forecast 24h past the last observation
+
+
+@query(
+    "ts_forecast_linear",
+    f"""
+    WITH e AS (
+      SELECT event_type AS series,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    c AS (
+      SELECT series, s - min(s) OVER (PARTITION BY series) AS x, yi
+      FROM e
+    ),
+    m AS (
+      SELECT series,
+             count(*) AS n,
+             CAST(max(x) AS BIGINT) AS x_max,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(x * yi AS DECIMAL(38,0))) AS sxy
+      FROM c GROUP BY series
+    ),
+    fit AS (
+      SELECT series, n, x_max,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 10000.0
+                   + 1e-9, 10) AS slope,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM m
+      WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    ),
+    ic AS (
+      SELECT series, n, x_max, slope,
+             round((syd / 10000.0 - slope * sxd) / CAST(n AS DOUBLE)
+                   + 1e-9, 6) AS intercept
+      FROM fit
+    )
+    SELECT series, CAST(n AS BIGINT) AS n_samples, slope, intercept,
+           round(intercept + slope * (x_max + {_FC_HORIZON_S}) + 1e-9, 4)
+             AS forecast_24h
+    FROM ic
+    """,
+)
+def q_ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series ordinary-least-squares trend fit and 24h-ahead
+    forecast — the PromQL ``predict_linear`` / ``deriv`` analog on the
+    reference's data model (series keyed by event_type). Slope and
+    intercept come from the closed-form normal equations on exact
+    integer moments: timestamps are centered per series (x = s - min s,
+    so x is small relative to DECIMAL(38) headroom even on years of
+    100 TB data), values are scaled to 1e-4 integers, and n, Σx, Σy,
+    Σxy, Σx² are summed as DECIMAL(38,0) — order-free and bit-exact at
+    any parallelism. The derived slope/intercept/forecast are computed
+    in IEEE double from those agreed sums and QUANTIZED (round+nudge)
+    before each reuse, so both engines produce identical bits.
+
+    Scale posture: the centering window and the moment aggregate share
+    one hash partitioning on the series key (a single exchange —
+    Catalyst reuses it), map-side partial aggregation applies, and the
+    constant-width result is one row per series. Degenerate series (all
+    samples at one timestamp) are excluded by the positive-variance
+    guard."""
+    (events,) = _prep(spark, sf_dir, "events")
+    yi = F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+    e = events.select(
+        F.col("event_type").alias("series"),
+        F.unix_timestamp("ts").alias("s"),
+        yi.alias("yi"),
+    )
+    w = Window.partitionBy("series")
+    c = e.select(
+        "series",
+        (F.col("s") - F.min("s").over(w)).alias("x"),
+        "yi",
+    )
+    d38 = "decimal(38,0)"
+    m = c.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("x").cast("bigint").alias("x_max"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("yi").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("x") * F.col("yi")).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = F.round(
+        (nd * F.col("sxy").cast("double") - sxd * syd) / den / 10000.0
+        + F.lit(1e-9),
+        10,
+    )
+    fit = m.filter(den > 0).select(
+        "series", "n", "x_max", slope.alias("slope"),
+        syd.alias("syd"), sxd.alias("sxd"),
+    )
+    intercept = F.round(
+        (F.col("syd") / 10000.0 - F.col("slope") * F.col("sxd"))
+        / F.col("n").cast("double")
+        + F.lit(1e-9),
+        6,
+    )
+    ic = fit.select("series", "n", "x_max", "slope", intercept.alias("intercept"))
+    return ic.select(
+        "series",
+        F.col("n").cast("bigint").alias("n_samples"),
+        "slope",
+        "intercept",
+        F.round(
+            F.col("intercept")
+            + F.col("slope") * (F.col("x_max") + _FC_HORIZON_S)
+            + F.lit(1e-9),
+            4,
+        ).alias("forecast_24h"),
+    )
+
+
+# =========================================================================
+# Per-series lag autocorrelation (signal self-similarity profile)
+# =========================================================================
+
+
+@query(
+    "ts_autocorr_lag",
+    """
+    WITH e AS (
+      SELECT event_type AS series, ts, event_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    lagged AS (
+      SELECT series,
+             lag(yi, 1) OVER (PARTITION BY series ORDER BY ts, event_id) AS y1,
+             yi AS y2
+      FROM e
+    ),
+    p AS (SELECT series, y1, y2 FROM lagged WHERE y1 IS NOT NULL),
+    m AS (
+      SELECT series, count(*) AS n,
+             sum(CAST(y1 AS DECIMAL(38,0))) AS s1,
+             sum(CAST(y2 AS DECIMAL(38,0))) AS s2,
+             sum(CAST(y1 * y1 AS DECIMAL(38,0))) AS s11,
+             sum(CAST(y2 * y2 AS DECIMAL(38,0))) AS s22,
+             sum(CAST(y1 * y2 AS DECIMAL(38,0))) AS s12
+      FROM p GROUP BY series
+    )
+    SELECT series, CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 + 1e-9, 6) AS r_lag1
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+    """,
+)
+def q_ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation — the self-similarity signal
+    behind seasonality detection and anomaly baselining (is this metric
+    momentum-driven or white noise?). Consecutive samples pair up via a
+    keyed lag window (series-partitioned, (ts, event_id)-ordered for a
+    deterministic tie order), then Pearson r comes from exact
+    DECIMAL(38,0) integer moments of the 1e-4-scaled values — the same
+    order-free discipline as ts_forecast_linear. The only non-rational
+    step is IEEE-754 sqrt, which is correctly rounded on identical
+    inputs in every conforming engine, so the 6-dp presentation is
+    bit-stable.
+
+    Scale posture: the lag window and the moment aggregate share one
+    hash partitioning on the series key — a single exchange end-to-end —
+    and the result is one constant-width row per series. Degenerate
+    (zero-variance) sides are excluded by the guards."""
+    (events,) = _prep(spark, sf_dir, "events")
+    yi = F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+    e = events.select(
+        F.col("event_type").alias("series"), "ts", "event_id", yi.alias("yi")
+    )
+    w = Window.partitionBy("series").orderBy("ts", "event_id")
+    lagged = e.select(
+        "series",
+        F.lag("yi", 1).over(w).alias("y1"),
+        F.col("yi").alias("y2"),
+    ).filter(F.col("y1").isNotNull())
+    d38 = "decimal(38,0)"
+    m = lagged.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y1").cast(d38)).alias("s1"),
+        F.sum(F.col("y2").cast(d38)).alias("s2"),
+        F.sum((F.col("y1") * F.col("y1")).cast(d38)).alias("s11"),
+        F.sum((F.col("y2") * F.col("y2")).cast(d38)).alias("s22"),
+        F.sum((F.col("y1") * F.col("y2")).cast(d38)).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    v1 = nd * F.col("s11").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double")
+    v2 = nd * F.col("s22").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ).cast("double")
+    cov = nd * F.col("s12").cast("double") - F.col("s1").cast("double") * F.col(
+        "s2"
+    ).cast("double")
+    return (
+        m.filter((v1 > 0) & (v2 > 0))
+        .select(
+            "series",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(cov / F.sqrt(v1) / F.sqrt(v2) + F.lit(1e-9), 6).alias(
+                "r_lag1"
+            ),
+        )
+    )
