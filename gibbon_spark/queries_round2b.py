@@ -727,3 +727,199 @@ def q_ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =========================================================================
+# Triangle counting on the co-purchase graph (graph-analytics depth)
+# =========================================================================
+
+_TRI_MIN_SUPPORT = 2  # edge = parts co-purchased in >= 2 distinct orders
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    edges AS (
+      SELECT a.part AS pa, b.part AS pb
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+      HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    per_vertex AS (
+      SELECT v, count(*) AS n_triangles FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM per_vertex) AS BIGINT)
+             AS n_vertices_in_triangles,
+           CAST((SELECT coalesce(max(n_triangles), 0) FROM per_vertex)
+             AS BIGINT) AS max_per_vertex
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts that share >= 2
+    distinct orders): the standard wedge-closure join — oriented edges
+    (pa < pb) so each triangle is enumerated exactly once as
+    a < b < c — plus per-vertex triangle participation. Completes the
+    graph-analytics trio alongside pagerank_nations (eigenvector) and
+    dedup_clusters_cc (connectivity); triangle density is the classic
+    community-structure signal.
+
+    Scale posture: the support filter prunes the edge set BEFORE any
+    self-join (same apriori discipline as basket_part_pairs), and both
+    wedge joins are keyed shuffles on a vertex column. At true scale the
+    id-orientation would be replaced by degree-orientation (orient each
+    edge toward the higher-degree endpoint, tie-broken by id), which
+    bounds per-wedge work by sqrt(m) — the id-oriented form is kept here
+    because it is deterministic and oracle-replayable, and the support
+    floor already caps hot vertices. The three scalar outputs aggregate
+    to one row — no global sort anywhere."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.select("okey", F.col("part").alias("pa"))
+    b = items.select("okey", F.col("part").alias("pb"))
+    edges = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        # the pruned edge set is tiny relative to the item scan that
+        # produces it and feeds FOUR consumers (three join roles + the
+        # edge count); localCheckpoint materializes it once instead of
+        # recomputing the O(|lineitem|) lineage per consumer (same
+        # discipline as dedup_clusters_cc)
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=True)
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    vstats = verts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices_in_triangles"),
+        F.coalesce(F.max("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("max_per_vertex"),
+    )
+    return n_edges.join(F.broadcast(n_tri)).join(F.broadcast(vstats))
+
+
+# =========================================================================
+# Composed RAG-corpus pipeline: chunk -> dedup chunks -> per-source stats
+# =========================================================================
+
+
+@query(
+    "pipeline_rag_corpus",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS start
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             len(toks[start:start + {_CHUNK_TOKENS} - 1]) AS n_tokens,
+             md5(array_to_string(toks[start:start + {_CHUNK_TOKENS} - 1], ' '))
+               AS chunk_hash
+      FROM s
+    ),
+    keep AS (
+      SELECT chunk_hash, min(doc_id) AS rep_doc FROM chunks GROUP BY chunk_hash
+    ),
+    flagged AS (
+      SELECT c.source, c.n_tokens,
+             CASE WHEN c.doc_id = k.rep_doc THEN 1 ELSE 0 END AS kept
+      FROM chunks c JOIN keep k USING (chunk_hash)
+    )
+    SELECT source,
+           count(*) AS n_chunks,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS dup_rate,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS avg_chunk_tokens
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def q_pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG corpus preparation, composed from this module's
+    own operators: chunk every document (16-token windows, stride 12),
+    exact-dedup the chunks corpus-wide on their content hash (keeping
+    the min-doc_id representative — cross-document boilerplate chunks
+    collapse to one), and report per-source chunk counts, dedup rate,
+    and mean chunk width. The per-source dup_rate is the signal a data
+    curator uses to decide which crawl sources are boilerplate-heavy
+    before paying for embeddings.
+
+    Scale posture: chunking is the shuffle-free map from
+    chunk_documents_overlap; dedup shuffles (hash, doc_id) pairs only —
+    never chunk text; the representative join is keyed on the hash with
+    map-side combine on both aggregates. Same plan family as dedup_exact
+    but at chunk granularity, which is the production shape (page-level
+    dedup misses template fragments)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_TOKENS)
+    chunks = (
+        docs.select(
+            "doc_id", "source", toks.alias("toks"), F.explode(starts).alias("start")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+    keep = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("rep_doc"))
+    flagged = chunks.join(keep, "chunk_hash").select(
+        "source",
+        "n_tokens",
+        (F.col("doc_id") == F.col("rep_doc")).cast("long").alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(
+            F.lit(1.0) - F.sum("kept").cast("double") / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("avg_chunk_tokens"),
+    )

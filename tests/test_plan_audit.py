@@ -21,6 +21,7 @@ ALLOWED_NESTED_LOOP = {
     "basket_part_pairs",
     "heavy_hitters_mg",
     "skew_key_stats",
+    "graph_triangle_count",
 }
 
 
