@@ -923,3 +923,148 @@ def q_pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("avg_chunk_tokens"),
     )
+
+
+# =========================================================================
+# Sliding-window HyperLogLog: mergeable distinct-count sketch over time
+# =========================================================================
+
+_HLL_M = 256  # registers (8-bit bucket index)
+
+
+@query(
+    "sketch_hll_sliding_wau",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    h AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+               AS bucket,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13))::BIGINT
+               AS v
+      FROM ud
+    ),
+    r AS (
+      SELECT d, bucket,
+             max(CASE WHEN v = 0 THEN 53
+                      ELSE bit_count((v & -v) - 1) + 1 END) AS m
+      FROM h GROUP BY d, bucket
+    ),
+    contrib AS (
+      SELECT d + off AS day_num, bucket, m
+      FROM r, LATERAL unnest(range(0, 7)) AS t(off)
+    ),
+    merged AS (
+      SELECT day_num, bucket, max(m) AS mw
+      FROM contrib GROUP BY day_num, bucket
+    ),
+    est AS (
+      SELECT day_num,
+             count(*) AS n_buckets_used,
+             sum(1.0 / CAST(CAST(1 AS BIGINT) << mw AS DOUBLE)) AS sp
+      FROM merged GROUP BY day_num
+    ),
+    exact AS (
+      SELECT c.day_num, count(DISTINCT user_id) AS wau_exact
+      FROM (
+        SELECT d + off AS day_num, user_id
+        FROM ud, LATERAL unnest(range(0, 7)) AS t(off)
+      ) c
+      GROUP BY c.day_num
+    )
+    SELECT days.d AS day_num,
+           exact.wau_exact,
+           round((0.7213 / (1.0 + 1.079 / {_HLL_M}))
+                 * {_HLL_M} * {_HLL_M}
+                 / (est.sp + ({_HLL_M} - est.n_buckets_used) * 1.0)
+                 + 1e-9, 2) AS wau_hll,
+           CAST(est.n_buckets_used AS BIGINT) AS n_buckets_used
+    FROM days
+    JOIN est ON est.day_num = days.d
+    JOIN exact ON exact.day_num = days.d
+    """,
+)
+def q_sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window HyperLogLog: 7-day active users per day from
+    MERGEABLE per-day register vectors — the sketch path for "distinct
+    over a moving window" where re-scanning the window per day is
+    unaffordable. Each day keeps 256 max-rank registers (8-bit md5
+    bucket, rank = trailing-zero count of the next 52 hash bits —
+    bit_count((v & -v) - 1) + 1, NO libm anywhere); a day's 7-day
+    estimate merges registers by max. The estimate uses the raw HLL
+    formula (alpha_m * m^2 / sum 2^-M) with absent registers
+    contributing 2^0; 2^-M is computed as 1/(1<<M), exact in IEEE
+    doubles, so both engines produce identical bits. The exact WAU
+    rides along for self-audit (this sketch's raw form is biased low in
+    the small-range regime — the raw form over-estimates in the
+    small-range regime where real implementations switch to linear
+    counting, and that correction needs ln(), which is not bit-portable
+    across engines — it is deliberately omitted and the bias is visible
+    against the rider column).
+
+    Scale posture: the register table is |days| x 256 rows regardless
+    of corpus size — the whole point; merging is an explode-by-7 then
+    max-groupBy on that tiny table. The only full-data shuffle is the
+    initial (day, user) distinct. Replace the rider exact-distinct with
+    the registers alone at true scale (it exists here to make the
+    oracle self-checking)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    ud = events.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+        "user_id",
+    ).distinct()
+    days = ud.select("d").distinct()
+    hexid = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(hexid, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.bit_count((v.bitwiseAND(-v)) - 1) + 1
+    )
+    h = ud.select(
+        "d",
+        F.conv(F.substring(hexid, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        rho.alias("rho"),
+    )
+    r = h.groupBy("d", "bucket").agg(F.max("rho").alias("m"))
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    contrib = r.select("d", "bucket", "m", off).select(
+        (F.col("d") + F.col("off")).alias("day_num"), "bucket", "m"
+    )
+    merged = contrib.groupBy("day_num", "bucket").agg(F.max("m").alias("mw"))
+    est = merged.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("cast(shiftleft(cast(1 as bigint), cast(mw as int)) as double)")
+        ).alias("sp"),
+    )
+    exact = (
+        ud.select("d", "user_id", off)
+        .select((F.col("d") + F.col("off")).alias("day_num"), "user_id")
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    return (
+        days.join(est, days["d"] == est["day_num"])
+        .join(exact, est["day_num"] == exact["day_num"])
+        .select(
+            days["d"].alias("day_num"),
+            "wau_exact",
+            F.round(
+                F.lit(alpha)
+                * _HLL_M
+                * _HLL_M
+                / (
+                    F.col("sp")
+                    + (F.lit(_HLL_M) - F.col("n_buckets_used")) * F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                2,
+            ).alias("wau_hll"),
+            F.col("n_buckets_used").cast("bigint").alias("n_buckets_used"),
+        )
+    )
