@@ -1,0 +1,137 @@
+"""Semantic invariants for the round-2 batch-B operators — properties
+the oracle compare can't express (coverage, sketch guarantees, union
+bounds), checked at sf0.001."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL).toPandas()
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk starts advance by the stride until the end of the document,
+    so token coverage is exact: the first chunk of each doc starts at 1,
+    consecutive starts differ by the stride, and the last chunk reaches
+    the final token."""
+    from gibbon_spark.queries_round2b import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    pdf = _run(spark, "chunk_documents_overlap")
+    g = pdf.groupby("doc_id")
+    for doc_id, grp in list(g)[:50]:
+        grp = grp.sort_values("chunk_id")
+        starts = grp["start_token"].tolist()
+        assert starts[0] == 1
+        assert all(
+            b - a == _CHUNK_STRIDE for a, b in zip(starts, starts[1:])
+        ), f"doc {doc_id}: non-uniform stride {starts}"
+        # every chunk is exactly min(CHUNK, tokens remaining) wide: full
+        # until the doc tail, then truncated (several tail chunks may be
+        # short because starts run to the very end for full coverage)
+        widths = grp["n_tokens"].tolist()
+        n_doc = starts[-1] + widths[-1] - 1
+        for st, w in zip(starts, widths):
+            assert w == min(_CHUNK_TOKENS, n_doc - st + 1)
+        # the final start is within one stride of the last token, so no
+        # token is uncovered
+        assert n_doc - starts[-1] < _CHUNK_STRIDE
+
+
+def test_heavy_hitters_match_exact_threshold(spark):
+    """The MG union guarantee means the registered query's output must
+    EQUAL the exact count > N/k set (no false negatives from the
+    sketch, no false positives after the recount)."""
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.queries_round2b import _MG_K
+    from gibbon_spark.queries import _prep
+
+    got = set(_run(spark, "heavy_hitters_mg")["token"])
+    (docs,) = _prep(spark, SF_SMALL, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    n = tok.count()
+    exact = {
+        r.token
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * _MG_K > n)
+        .collect()
+    }
+    assert got == exact
+
+
+def test_interval_union_bounds(spark):
+    """Union length per user is bounded by n_events * interval on top
+    and by one interval per island on the bottom, and islands can't
+    outnumber events."""
+    from gibbon_spark.queries_round2b import _IVL_SECONDS
+
+    pdf = _run(spark, "interval_coverage_union")
+    assert (pdf["covered_seconds"] <= pdf["n_events"] * _IVL_SECONDS).all()
+    assert (pdf["covered_seconds"] >= pdf["n_islands"] * _IVL_SECONDS).all()
+    assert (pdf["n_islands"] <= pdf["n_events"]).all()
+    assert (pdf["n_islands"] >= 1).all()
+
+
+def test_hll_registers_bound_exact_count(spark):
+    """HLL structural invariants: used registers never exceed m or the
+    exact distinct count (each distinct user fills at most one bucket
+    per window), and the raw estimate is positive."""
+    from gibbon_spark.queries_round2b import _HLL_M
+
+    pdf = _run(spark, "sketch_hll_sliding_wau")
+    assert (pdf["n_buckets_used"] <= _HLL_M).all()
+    assert (pdf["n_buckets_used"] <= pdf["wau_exact"]).all()
+    assert (pdf["wau_hll"] > 0).all()
+
+
+def test_forecast_matches_numpy_polyfit(spark):
+    """The exact-moment OLS slope/intercept must agree with numpy's
+    least-squares fit on the same (centered-x, rounded-y) points to
+    well within presentation rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from gibbon_spark.queries import _prep
+
+    fit = _run(spark, "ts_forecast_linear").set_index("series")
+    (events,) = _prep(spark, SF_SMALL, "events")
+    pdf = events.select("event_type", "ts", "value").toPandas()
+    for series, grp in pdf.groupby("event_type"):
+        s = grp["ts"].astype("int64") // 10**9
+        x = (s - s.min()).to_numpy(dtype=float)
+        y = np.floor(grp["value"].to_numpy() * 10000 + 0.5) / 10000.0
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(fit.loc[series, "slope"] - slope) < 1e-6
+        # the registry query quantizes the slope at 1e-10 before the
+        # intercept derivation (parity discipline); that rounding is
+        # amplified by mean(x) ~ 1e7 s, so allow a few millis here
+        assert abs(fit.loc[series, "intercept"] - intercept) < 5e-3
+
+
+def test_autocorr_in_valid_range(spark):
+    pdf = _run(spark, "ts_autocorr_lag")
+    assert ((pdf["r_lag1"] >= -1.000001) & (pdf["r_lag1"] <= 1.000001)).all()
+
+
+def test_triangle_count_consistency(spark):
+    """Each triangle contributes exactly 3 vertex participations, so
+    max_per_vertex <= n_triangles and the vertex count is bounded by
+    3 x triangles."""
+    pdf = _run(spark, "graph_triangle_count")
+    r = pdf.iloc[0]
+    if r["n_triangles"] > 0:
+        assert r["max_per_vertex"] <= r["n_triangles"]
+        assert 3 <= r["n_vertices_in_triangles"] <= 3 * r["n_triangles"]
+    else:
+        assert r["n_vertices_in_triangles"] == 0
+
+
+def test_rag_pipeline_dup_rate_bounds(spark):
+    pdf = _run(spark, "pipeline_rag_corpus")
+    assert ((pdf["dup_rate"] >= 0) & (pdf["dup_rate"] < 1)).all()
+    assert (pdf["n_kept"] <= pdf["n_chunks"]).all()
+    assert (pdf["n_kept"] >= 1).all()
