@@ -1068,3 +1068,148 @@ def q_sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_buckets_used").cast("bigint").alias("n_buckets_used"),
         )
     )
+
+
+# =========================================================================
+# Top principal direction by distributed power iteration (iterative ML)
+# =========================================================================
+
+_PC_DIMS = 64
+_PC_ITERS = 4
+_PC_TOP_COMPONENTS = 8
+
+
+def _pc_oracle_sql() -> str:
+    """Unrolled power-iteration oracle: the same quantized arithmetic
+    (every sum is DECIMAL(30,8) of round(x + 1e-9, 8) terms — order-free
+    and engine-exact) as the Spark plan, one CTE block per iteration."""
+    d = _PC_DIMS
+    q = "CAST(round(({x}) + 1e-9, 8) AS DECIMAL(30,8))"
+    parts = [
+        f"""
+    WITH expl AS (
+      SELECT vec_id AS i, j, CAST(embedding[j] AS DOUBLE) AS e
+      FROM embeddings, LATERAL unnest(range(1, {d} + 1)) AS t(j)
+    ),
+    v0 AS (SELECT j, CAST(1.0 / 8.0 AS DOUBLE) AS v
+           FROM range(1, {d} + 1) AS t(j))"""
+    ]
+    prev = "v0"
+    for k in range(1, _PC_ITERS + 1):
+        sc = q.format(x="expl.e * v.v")
+        wc = q.format(x="CAST(s.s AS DOUBLE) * expl.e")
+        n2 = q.format(x="CAST(w.w AS DOUBLE) * CAST(w.w AS DOUBLE)")
+        parts.append(
+            f""",
+    s{k} AS (
+      SELECT expl.i, sum({sc}) AS s
+      FROM expl JOIN {prev} v USING (j) GROUP BY expl.i
+    ),
+    w{k} AS (
+      SELECT expl.j, sum({wc}) AS w
+      FROM expl JOIN s{k} s ON s.i = expl.i GROUP BY expl.j
+    ),
+    n{k} AS (SELECT sum({n2}) AS n2 FROM w{k} w),
+    v{k} AS (
+      SELECT w.j,
+             round(CAST(w.w AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) + 1e-9, 8)
+               AS v
+      FROM w{k} w, n{k} n)"""
+        )
+        prev = f"v{k}"
+    parts.append(
+        f"""
+    SELECT v.j AS dim,
+           v.v AS component,
+           round(sqrt(sqrt(CAST(n.n2 AS DOUBLE))) + 1e-9, 6) AS sigma,
+           (SELECT count(*) FROM embeddings) AS n_vectors
+    FROM v{_PC_ITERS} v, n{_PC_ITERS} n
+    ORDER BY abs(v.v) DESC, v.j
+    LIMIT {_PC_TOP_COMPONENTS}"""
+    )
+    return "".join(parts)
+
+
+@query("embedding_top_pc", _pc_oracle_sql())
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by DISTRIBUTED
+    power iteration — the iterative linear-algebra pattern (PCA /
+    spectral methods / PageRank-style eigensolvers) expressed as
+    DataFrame ops. Each round computes scores s = A·v (per-vector
+    quantized-decimal dot), back-projects w = Aᵀ·s (per-dimension
+    weighted sum), and renormalizes v = w/||w||; four rounds from the
+    deterministic v0 = 1/8·𝟙 (unit-norm for d=64). EVERY sum is a
+    DECIMAL(30,8) aggregate of round(x+1e-9, 8) terms — order-free, so
+    the result is bit-identical at any parallelism and replayable by
+    the unrolled SQL oracle; sqrt is IEEE-correctly-rounded. Emits the
+    8 largest-magnitude components plus the singular-value estimate
+    sigma = ||AᵀA·v||^(1/2) (the fourth root of the last squared norm —
+    two correctly-rounded sqrts, engine-stable; at convergence
+    ||AᵀA·v|| -> sigma_1^2).
+
+    Scale posture: the corpus is touched only through two keyed
+    aggregations per round (explode to (i, j, e), sum by i, sum by j —
+    map-side combine on both); v is 64 rows broadcast to both joins,
+    and each round's v is localCheckpoint'd so the iteration adds O(1)
+    plan depth. The 1-row norm joins via broadcast (allow-listed O(n)
+    scalar fan-out). Per-round cost is two shuffles of n·d narrow rows
+    regardless of iteration count — the same posture as
+    pagerank_nations."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+
+    def q8(col):
+        return F.round(col + F.lit(1e-9), 8).cast("decimal(30,8)")
+
+    expl = emb.select(
+        F.col("vec_id").alias("i"),
+        F.posexplode(F.col("embedding")).alias("pos", "ef"),
+    ).select("i", (F.col("pos") + 1).alias("j"), F.col("ef").cast("double").alias("e"))
+    v = spark.range(1, _PC_DIMS + 1).select(
+        F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("v")
+    )
+    last_norm = None
+    for _ in range(_PC_ITERS):
+        s = (
+            expl.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(q8(F.col("e") * F.col("v"))).alias("s"))
+        )
+        w = (
+            expl.join(s, "i")
+            .groupBy("j")
+            .agg(F.sum(q8(F.col("s").cast("double") * F.col("e"))).alias("w"))
+        )
+        n1 = w.agg(
+            F.sum(q8(F.col("w").cast("double") * F.col("w").cast("double"))).alias(
+                "n2"
+            )
+        )
+        v = (
+            w.join(F.broadcast(n1))
+            .select(
+                "j",
+                F.round(
+                    F.col("w").cast("double")
+                    / F.sqrt(F.col("n2").cast("double"))
+                    + F.lit(1e-9),
+                    8,
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        last_norm = n1
+    nvec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        v.join(F.broadcast(last_norm))
+        .join(F.broadcast(nvec))
+        .select(
+            F.col("j").alias("dim"),
+            F.col("v").alias("component"),
+            F.round(
+                F.sqrt(F.sqrt(F.col("n2").cast("double"))) + F.lit(1e-9), 6
+            ).alias("sigma"),
+            "n_vectors",
+        )
+        .orderBy(F.abs(F.col("component")).desc(), "dim")
+        .limit(_PC_TOP_COMPONENTS)
+    )

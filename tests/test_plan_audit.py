@@ -22,6 +22,7 @@ ALLOWED_NESTED_LOOP = {
     "heavy_hitters_mg",
     "skew_key_stats",
     "graph_triangle_count",
+    "embedding_top_pc",
 }
 
 

@@ -135,3 +135,25 @@ def test_rag_pipeline_dup_rate_bounds(spark):
     assert ((pdf["dup_rate"] >= 0) & (pdf["dup_rate"] < 1)).all()
     assert (pdf["n_kept"] <= pdf["n_chunks"]).all()
     assert (pdf["n_kept"] >= 1).all()
+
+
+def test_top_pc_against_numpy_svd(spark):
+    """Power iteration's sigma must be sandwiched by the true spectrum:
+    <= sigma_1 (it is a Rayleigh-type estimate) and well above sigma_2
+    territory after 4 rounds unless the gap is tiny; the returned
+    direction components came from a unit vector."""
+    import numpy as np
+
+    from gibbon_spark.queries import _prep
+
+    pdf = entrymod.queries()["embedding_top_pc"](spark, SF_SMALL).toPandas()
+    sigma = pdf["sigma"].iloc[0]
+    (emb,) = _prep(spark, SF_SMALL, "embeddings")
+    A = np.array(emb.toPandas()["embedding"].tolist(), dtype=np.float64)
+    svals = np.linalg.svd(A, compute_uv=False)
+    # quantization adds ~1e-4 absolute noise; sigma can't beat sigma_1
+    assert sigma <= svals[0] * 1.001 + 1e-3
+    assert sigma >= svals[0] * 0.8  # 4 rounds from a dense start
+    # the 8 reported components are part of a unit vector
+    assert (pdf["component"].abs() <= 1.000001).all()
+    assert pdf["n_vectors"].iloc[0] == len(A)
