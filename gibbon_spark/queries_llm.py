@@ -2353,3 +2353,56 @@ def q_multimodal_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame
             "frame_mean_luma"
         ),
     )
+
+
+def _lang_confusion_oracle_sql() -> str:
+    base = _lang_oracle_sql()
+    return f"""
+    WITH pred AS ({base}),
+    cm AS (
+      SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.pred_lang, cm.n, tot.n_lang,
+           round(CAST(cm.n AS DOUBLE) / tot.n_lang + 1e-9, 6) AS share
+    FROM cm JOIN tot ON tot.lang = cm.lang
+    """
+
+
+@query("lang_id_confusion", _lang_confusion_oracle_sql())
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (true lang x predicted lang)
+    confusion matrix with per-true-language shares — the accuracy
+    report a curator reads before trusting the classifier to route a
+    100 TB corpus. Reuses lang_id's expression-only argmax (same
+    LANG_PROFILES on both engines) so the matrix is oracle-exact.
+
+    Scale posture: one scan with the per-language score expressions,
+    one (lang, pred) count with map-side combine (25 cells max), and a
+    broadcast join against the 5-row per-language totals."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    scores = {lang: F.round(c, 6) for lang, c in tx.lang_scores("text").items()}
+    ranked = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(-i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(scores))
+        ]
+    )
+    pred = docs.select(
+        "lang", F.array_max(ranked).getField("lang").alias("pred_lang")
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_lang",
+        F.round(
+            F.col("n").cast("double") / F.col("n_lang") + F.lit(1e-9), 6
+        ).alias("share"),
+    )

@@ -152,3 +152,48 @@ def test_csv_malformed_rows_permissive_vs_dropmalformed(spark):
         T.StructType(schema.fields[:3])
     ).option("mode", "DROPMALFORMED").csv(path)
     assert {r.series_id for r in dropm.collect()} == {"a", "c"}
+
+
+def test_binaryfile_source_for_multimodal_ingest(spark):
+    """binaryFile is the ingest path for raw media payloads (the
+    multimodal operators consume binary columns): reads (path, length,
+    content) with a glob filter, never decoding in the scan."""
+    d = tempfile.mkdtemp(prefix="gibbon_bin_")
+    blobs = {"a.gsraw": b"\x01\x02\x03\x04", "b.gsraw": b"\xff" * 16}
+    for name, payload in blobs.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(payload)
+    with open(os.path.join(d, "ignore.txt"), "w") as f:
+        f.write("not media")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gsraw")
+        .load(d)
+        .select("path", "length", "content")
+    )
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, payload in blobs.items():
+        assert rows[name].length == len(payload)
+        assert bytes(rows[name].content) == payload
+
+
+def test_dynamic_partition_overwrite(spark):
+    """Dynamic partition overwrite: rewriting one day's partition must
+    not clobber sibling partitions — the idempotent-backfill contract a
+    partitioned 100 TB table depends on."""
+    d = os.path.join(tempfile.mkdtemp(prefix="gibbon_dpo_"), "tbl")
+    spark.createDataFrame(
+        [("2001-01-01", 1), ("2001-01-02", 2)], "day string, v int"
+    ).write.partitionBy("day").parquet(d)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            [("2001-01-02", 20)], "day string, v int"
+        ).write.mode("overwrite").partitionBy("day").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    # partition values are type-inferred on read: day comes back as DATE
+    got = {(str(r.day), r.v) for r in spark.read.parquet(d).collect()}
+    assert got == {("2001-01-01", 1), ("2001-01-02", 20)}
