@@ -1213,3 +1213,53 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("component")).desc(), "dim")
         .limit(_PC_TOP_COMPONENTS)
     )
+
+
+# =========================================================================
+# VariantType semi-structured path (Spark 4 parse_json / variant_get)
+# =========================================================================
+
+
+@query(
+    "variant_props_stats",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM v GROUP BY event_type
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` shreds the props JSON once into the binary variant
+    encoding, ``try_variant_get`` extracts the typed path — the modern
+    replacement for per-expression get_json_object re-parsing (each
+    get_json_object call re-parses the string; variant parses ONCE and
+    every path access is a binary probe). Aggregates the extracted
+    field per event type; DuckDB replays via its native JSON extract,
+    so the engines' independent JSON parsers are cross-checked.
+
+    Scale posture: parse + extract are narrow per-row expressions
+    feeding one map-side-combined aggregate — scan speed at 100 TB,
+    and the variant binary never shuffles (only the extracted BIGINT
+    does)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )

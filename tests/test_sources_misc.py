@@ -197,3 +197,52 @@ def test_dynamic_partition_overwrite(spark):
     # partition values are type-inferred on read: day comes back as DATE
     got = {(str(r.day), r.v) for r in spark.read.parquet(d).collect()}
     assert got == {("2001-01-01", 1), ("2001-01-02", 20)}
+
+
+def test_xml_source(spark):
+    """Spark 4 ships a native XML source; round-trip a small rowset and
+    check schema inference + values."""
+    d = tempfile.mkdtemp(prefix="gibbon_xml_")
+    with open(os.path.join(d, "data.xml"), "w") as f:
+        f.write(
+            "<rows>"
+            "<row><series>a</series><ts>100</ts><value>1.5</value></row>"
+            "<row><series>b</series><ts>160</ts><value>-2.5</value></row>"
+            "</rows>"
+        )
+    df = spark.read.format("xml").option("rowTag", "row").load(d)
+    got = {(r.series, r.ts, r.value) for r in df.collect()}
+    assert got == {("a", 100, 1.5), ("b", 160, -2.5)}
+
+
+def test_python_datasource_series_generator(spark):
+    """Custom Python DataSource (Spark 4 API) — the analog of the
+    reference's Reader trait (stream.rs:6-8): partition-aware
+    deterministic series generation; values recomputable in closed
+    form, partitions split per series."""
+    from gibbon_spark.sources.pyds import GibbonSeriesDataSource
+
+    spark.dataSource.register(GibbonSeriesDataSource)
+    df = (
+        spark.read.format("gibbon_series")
+        .option("n", 200)
+        .option("series", 3)
+        .option("step", 60)
+        .load()
+    )
+    assert df.count() == 600
+    assert df.rdd.getNumPartitions() == 6  # 3 series x 2 splits
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+        F.min("ts").alias("t0"),
+    ).collect()
+    by = {r.series_id: r for r in agg}
+    # sum over i of (i % 97) for i in 0..199 = 2*sum(0..96) + 3+...:
+    expected_mod = sum(i % 97 for i in range(200))
+    for s in range(3):
+        r = by[f"s{s}"]
+        assert r.n == 200
+        assert abs(r.s - (expected_mod + 200 * s / 8.0)) < 1e-6
