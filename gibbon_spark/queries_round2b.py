@@ -1263,3 +1263,232 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("k_min"),
         F.max("k").cast("bigint").alias("k_max"),
     )
+
+
+# =========================================================================
+# Spearman rank correlation per group (robust association measure)
+# =========================================================================
+
+
+@query(
+    "corr_spearman_supplier",
+    """
+    WITH base AS (
+      SELECT l_suppkey AS supp,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT supp,
+             2 * rank() OVER (PARTITION BY supp ORDER BY q)
+               + count(*) OVER (PARTITION BY supp, q) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY supp ORDER BY p)
+               + count(*) OVER (PARTITION BY supp, p) - 1 AS ry2
+      FROM base
+    ),
+    m AS (
+      SELECT supp, count(*) AS n,
+             sum(CAST(rx2 AS DECIMAL(38,0))) AS s1,
+             sum(CAST(ry2 AS DECIMAL(38,0))) AS s2,
+             sum(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS s11,
+             sum(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS s22,
+             sum(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS s12
+      FROM ranked GROUP BY supp
+    )
+    SELECT supp, CAST(n AS BIGINT) AS n_rows,
+           round((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 + 1e-9, 6) AS spearman_rho
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+    """,
+)
+def q_corr_spearman_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per
+    supplier — the robust (monotone, outlier-insensitive) complement to
+    corr_matrix_lineitem's Pearson. Tie-aware average ranks are kept
+    as INTEGERS by working with 2x the average rank
+    (2*rank_min + ties - 1), so the whole computation reduces to the
+    same exact DECIMAL(38,0) moment discipline as ts_autocorr_lag and
+    the 6-dp rho is bit-stable at any parallelism.
+
+    Scale posture: both rank windows and the moment aggregate share ONE
+    hash partitioning on the supplier key (two in-partition sorts, one
+    exchange); per-group state is bounded by group size, with no global
+    sort. The tie-count window rides the same partitioning."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("p"),
+    )
+    wq = Window.partitionBy("supp").orderBy("q")
+    wqt = Window.partitionBy("supp", "q")
+    wp = Window.partitionBy("supp").orderBy("p")
+    wpt = Window.partitionBy("supp", "p")
+    ranked = base.select(
+        "supp",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx2"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1).alias("ry2"),
+    )
+    d38 = "decimal(38,0)"
+    m = ranked.groupBy("supp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(d38)).alias("s1"),
+        F.sum(F.col("ry2").cast(d38)).alias("s2"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(d38)).alias("s11"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(d38)).alias("s22"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(d38)).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    v1 = nd * F.col("s11").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double")
+    v2 = nd * F.col("s22").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ).cast("double")
+    cov = nd * F.col("s12").cast("double") - F.col("s1").cast("double") * F.col(
+        "s2"
+    ).cast("double")
+    return (
+        m.filter((v1 > 0) & (v2 > 0))
+        .select(
+            "supp",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(cov / F.sqrt(v1) / F.sqrt(v2) + F.lit(1e-9), 6).alias(
+                "spearman_rho"
+            ),
+        )
+    )
+
+
+# =========================================================================
+# Bollinger bands: rolling mean +/- 2 sigma per series (monitoring)
+# =========================================================================
+
+_BB_WINDOW = 24  # trailing samples per band computation
+
+
+@query(
+    "ts_bollinger_bands",
+    f"""
+    WITH e AS (
+      SELECT event_type AS series, ts, event_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    r AS (
+      SELECT series, ts, event_id, yi,
+             count(*) OVER w AS n,
+             sum(CAST(yi AS DECIMAL(38,0))) OVER w AS s1,
+             sum(CAST(yi * yi AS DECIMAL(38,0))) OVER w AS s2,
+             row_number() OVER (PARTITION BY series ORDER BY ts, event_id)
+               AS rn
+      FROM e
+      WINDOW w AS (PARTITION BY series ORDER BY ts, event_id
+                   ROWS BETWEEN {_BB_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+      SELECT series, ts, event_id, yi, n,
+             round(CAST(s1 AS DOUBLE) / n / 10000.0 + 1e-9, 6) AS mid,
+             round(sqrt(greatest(
+                     (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                   / 10000.0 + 1e-9, 6) AS sigma
+      FROM r WHERE rn >= {_BB_WINDOW}
+    )
+    SELECT series, ts, mid,
+           round(mid + 2 * sigma + 1e-9, 6) AS upper_band,
+           round(mid - 2 * sigma + 1e-9, 6) AS lower_band,
+           CASE WHEN yi / 10000.0 > mid + 2 * sigma
+                  OR yi / 10000.0 < mid - 2 * sigma
+                THEN 1 ELSE 0 END AS breakout
+    FROM b
+    """,
+)
+def q_ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per series: trailing-24-sample mean +/- 2 sigma
+    with breakout flags — the rolling-volatility envelope behind
+    alert-banding dashboards (complements the global-moment
+    ts_anomaly_zscore with a LOCAL volatility baseline). The rolling
+    variance comes from rolling integer moment sums (n*S2 - S1^2 over
+    the 1e-4-scaled values, DECIMAL(38,0) — exact regardless of frame
+    content), so mid/sigma are bit-stable; sqrt is correctly rounded;
+    warm-up rows (frame not yet full) are excluded.
+
+    Scale posture: one hash partitioning on the series key carries the
+    moment frames and row numbering (in-partition sort, no extra
+    exchange); per-row work is O(1) via Spark's sliding-frame
+    aggregation. The quantized-band comparison for the breakout flag
+    uses the same rounded values both engines computed."""
+    (events,) = _prep(spark, sf_dir, "events")
+    e = events.select(
+        F.col("event_type").alias("series"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("yi"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-( _BB_WINDOW - 1), 0)
+    )
+    wn = Window.partitionBy("series").orderBy("ts", "event_id")
+    d38 = "decimal(38,0)"
+    r = e.select(
+        "series",
+        "ts",
+        "event_id",
+        "yi",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("yi").cast(d38)).over(w).alias("s1"),
+        F.sum((F.col("yi") * F.col("yi")).cast(d38)).over(w).alias("s2"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") >= _BB_WINDOW)
+    nd = F.col("n").cast("double")
+    mid = F.round(
+        F.col("s1").cast("double") / F.col("n") / 10000.0 + F.lit(1e-9), 6
+    )
+    sigma = F.round(
+        F.sqrt(
+            F.greatest(
+                (nd * F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / (nd * nd),
+                F.lit(0.0),
+            )
+        )
+        / 10000.0
+        + F.lit(1e-9),
+        6,
+    )
+    b = r.select(
+        "series", "ts", "yi", mid.alias("mid"), sigma.alias("sigma")
+    )
+    return b.select(
+        "series",
+        "ts",
+        "mid",
+        F.round(F.col("mid") + 2 * F.col("sigma") + F.lit(1e-9), 6).alias(
+            "upper_band"
+        ),
+        F.round(F.col("mid") - 2 * F.col("sigma") + F.lit(1e-9), 6).alias(
+            "lower_band"
+        ),
+        F.when(
+            (F.col("yi") / 10000.0 > F.col("mid") + 2 * F.col("sigma"))
+            | (F.col("yi") / 10000.0 < F.col("mid") - 2 * F.col("sigma")),
+            1,
+        )
+        .otherwise(0)
+        .alias("breakout"),
+    )
