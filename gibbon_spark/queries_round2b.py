@@ -1492,3 +1492,81 @@ def q_ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breakout"),
     )
+
+
+# =========================================================================
+# Streaming sketch maintenance: HLL registers as streaming state
+# =========================================================================
+
+from gibbon_spark.queries import _STREAM_SINK_SEQ, _events_stream, _replay_width  # noqa: E402
+
+
+@query(
+    "streaming_sketch_hll",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, user_id
+      FROM events
+    ),
+    h AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+               AS bucket,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13))::BIGINT
+               AS v
+      FROM ud
+    )
+    SELECT d AS day_num, bucket,
+           max(CASE WHEN v = 0 THEN 53
+                    ELSE bit_count((v & -v) - 1) + 1 END) AS register
+    FROM h GROUP BY d, bucket
+    """,
+)
+def q_streaming_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: the per-day HyperLogLog register
+    table of sketch_hll_sliding_wau kept as Structured Streaming state
+    — each micro-batch folds new events into (day, bucket) -> max(rank)
+    — then availableNow-replayed and value-checked against the batch
+    register computation. max() state is the textbook mergeable-sketch
+    update: commutative, idempotent, O(1) per key, so the final
+    registers are IDENTICAL no matter how the stream is micro-batched;
+    that register equality (not just an estimate comparison) is what
+    this gate asserts. Downstream, any 7-day window merge/estimate
+    (see sketch_hll_sliding_wau) reads this continuously-maintained
+    table instead of re-scanning events.
+
+    Scale posture: streaming state is bounded at days x 256 registers
+    regardless of event volume — the reason sketches, not exact
+    distinct sets, are what production streams maintain. The replay
+    pins a bounded state-store width (_replay_width)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = _events_stream(spark, sf_dir)
+    hexid = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(hexid, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.bit_count((v.bitwiseAND(-v)) - 1) + 1
+    )
+    regs = (
+        s.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias(
+                "day_num"
+            ),
+            F.conv(F.substring(hexid, 1, 2), 16, 10)
+            .cast("bigint")
+            .alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day_num", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    name = f"_gs_stream_hll_{next(_STREAM_SINK_SEQ)}"
+    with _replay_width(spark):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).select("day_num", "bucket", "register")

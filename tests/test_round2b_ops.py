@@ -157,3 +157,76 @@ def test_top_pc_against_numpy_svd(spark):
     # the 8 reported components are part of a unit vector
     assert (pdf["component"].abs() <= 1.000001).all()
     assert pdf["n_vectors"].iloc[0] == len(A)
+
+
+def test_spearman_matches_pandas(spark):
+    """The integer-moment Spearman must agree with pandas' rank
+    correlation (tie-aware) per supplier."""
+    from gibbon_spark.queries import _prep
+
+    got = _run(spark, "corr_spearman_supplier").set_index("supp")["spearman_rho"]
+    (li,) = _prep(spark, SF_SMALL, "lineitem")
+    pdf = li.select("l_suppkey", "l_quantity", "l_extendedprice").toPandas()
+    import numpy as np
+
+    pdf["p"] = np.floor(pdf["l_extendedprice"] * 100 + 0.5)
+    for supp, grp in pdf.groupby("l_suppkey"):
+        if supp not in got.index:
+            continue
+        # Spearman = Pearson on tie-averaged ranks (pandas' spearman
+        # mode needs scipy, which this container doesn't ship)
+        rq = grp["l_quantity"].rank(method="average")
+        rp = grp["p"].rank(method="average")
+        rho = rq.corr(rp)
+        assert abs(got.loc[supp] - rho) < 1e-5, f"supplier {supp}"
+
+
+def test_bollinger_bands_sane(spark):
+    """Band geometry: lower <= mid <= upper, and a breakout row's value
+    really lies outside its own bands (recomputed from the output)."""
+    pdf = _run(spark, "ts_bollinger_bands")
+    assert (pdf["lower_band"] <= pdf["mid"] + 1e-9).all()
+    assert (pdf["mid"] <= pdf["upper_band"] + 1e-9).all()
+    assert pdf["breakout"].isin([0, 1]).all()
+    # warm-up rows are excluded: every series loses WINDOW-1 rows
+    from gibbon_spark.queries import _prep
+    from gibbon_spark.queries_round2b import _BB_WINDOW
+
+    (events,) = _prep(spark, SF_SMALL, "events")
+    per_series = events.groupBy("event_type").count().collect()
+    expect = {r.event_type: r["count"] - (_BB_WINDOW - 1) for r in per_series}
+    got = pdf.groupby("series").size().to_dict()
+    assert got == expect
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    """The streamed register table equals the batch registers computed
+    directly — mergeable-sketch state is micro-batching-invariant."""
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.queries import _prep
+
+    stream_pdf = (
+        _run(spark, "streaming_sketch_hll")
+        .sort_values(["day_num", "bucket"])
+        .reset_index(drop=True)
+    )
+    (events,) = _prep(spark, SF_SMALL, "events")
+    hexid = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(hexid, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.bit_count((v.bitwiseAND(-v)) - 1) + 1
+    )
+    batch_pdf = (
+        events.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_num"),
+            F.conv(F.substring(hexid, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day_num", "bucket")
+        .agg(F.max("rho").alias("register"))
+        .toPandas()
+        .sort_values(["day_num", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert stream_pdf.equals(batch_pdf)
