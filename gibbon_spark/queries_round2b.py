@@ -1691,3 +1691,166 @@ def q_cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_mismatched").cast("bigint").alias("n_mismatched"),
         F.max("max_abs_diff_cents").cast("bigint").alias("max_abs_diff_cents"),
     )
+
+
+# =========================================================================
+# Poisson bootstrap: distributed resampling for standard errors
+# =========================================================================
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF thresholds over the 16-bit hash space: draw k with the
+# exact pmf by comparing the hash against cumulative cutoffs
+_POIS_BOUNDS = (24109, 48219, 60273, 64292, 65296, 65497)
+
+
+def _pois_case_sql(h: str) -> str:
+    arms = " ".join(
+        f"WHEN {h} < {b} THEN {k}" for k, b in enumerate(_POIS_BOUNDS)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@query(
+    "bootstrap_ci_revenue",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    expl AS (
+      SELECT okey, cents, unnest(range(0, {_BOOT_B})) AS b FROM base
+    ),
+    w AS (
+      SELECT b, cents,
+             {_pois_case_sql("('0x' || substr(md5(CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 4))::BIGINT")}
+               AS k
+      FROM expl
+    ),
+    rep AS (
+      SELECT b,
+             CAST(sum(CAST(k * cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(k) AS BIGINT) AS n_eff
+      FROM w GROUP BY b
+    ),
+    means AS (
+      SELECT b,
+             CAST(floor(s / n_eff + 0.5) AS BIGINT) AS mu_cents
+      FROM rep WHERE n_eff > 0
+    ),
+    mstats AS (
+      SELECT count(*) AS nb,
+             sum(CAST(mu_cents AS DECIMAL(38,0))) AS m1,
+             sum(CAST(mu_cents * mu_cents AS DECIMAL(38,0))) AS m2,
+             min(mu_cents) AS lo, max(mu_cents) AS hi
+      FROM means
+    ),
+    point AS (
+      SELECT count(*) AS n_rows,
+             round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*) / 100.0 + 1e-9, 6) AS mean_revenue
+      FROM base
+    )
+    SELECT point.n_rows, point.mean_revenue,
+           round(sqrt((CAST(nb AS DOUBLE) * CAST(m2 AS DOUBLE)
+                       - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)))
+                 / 100.0 + 1e-9, 6) AS boot_se,
+           round(lo / 100.0 + 1e-9, 6) AS boot_lo,
+           round(hi / 100.0 + 1e-9, 6) AS boot_hi
+    FROM point, mstats
+    """,
+)
+def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error for mean order revenue — THE
+    distributed resampling scheme: instead of drawing n rows with
+    replacement (which needs global coordination), each row enters each
+    of 32 replicas with an independent Poisson(1) weight, drawn HERE
+    deterministically by comparing a 16-bit md5 of (row, replica)
+    against exact Poisson CDF cutoffs — so both engines draw identical
+    resamples and the whole bootstrap is value-checked, not just
+    statistically plausible. Replica means are quantized to integer
+    cents; their spread (exact DECIMAL moments over the 32
+    replicas) is the standard error; min/max bound the replica range.
+
+    Scale posture: a map-side 32x explode of narrow (key, cents) rows
+    into one map-side-combined aggregate per replica — 32 partial sums,
+    no shuffle of raw data beyond the replica rollup, no driver-side
+    RNG state. Adding replicas scales linearly and independently per
+    row, which is why Poisson bootstrap is the production choice for
+    CI estimation over 100 TB."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    expl = base.select(
+        "okey", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("okey").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = F.when(h < _POIS_BOUNDS[0], 0)
+    for i, bound in enumerate(_POIS_BOUNDS[1:], start=1):
+        k = k.when(h < bound, i)
+    k = k.otherwise(6)
+    d38 = "decimal(38,0)"
+    rep = (
+        expl.select("b", "cents", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("k") * F.col("cents")).cast(d38))
+            .cast("double")
+            .alias("s"),
+            F.sum("k").cast("bigint").alias("n_eff"),
+        )
+    )
+    means = rep.filter(F.col("n_eff") > 0).select(
+        F.floor(F.col("s") / F.col("n_eff") + 0.5)
+        .cast("bigint")
+        .alias("mu_cents")
+    )
+    mstats = means.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("mu_cents").cast(d38)).alias("m1"),
+        F.sum((F.col("mu_cents").cast(d38) * F.col("mu_cents").cast(d38))).alias("m2"),
+        F.min("mu_cents").alias("lo"),
+        F.max("mu_cents").alias("hi"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("cents").cast(d38)).cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_revenue"),
+    )
+    nbd = F.col("nb").cast("double")
+    return point.join(F.broadcast(mstats)).select(
+        "n_rows",
+        "mean_revenue",
+        F.round(
+            F.sqrt(
+                (nbd * F.col("m2").cast("double")
+                 - F.col("m1").cast("double") * F.col("m1").cast("double"))
+                / (nbd * (nbd - 1))
+            )
+            / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("boot_se"),
+        F.round(F.col("lo") / 100.0 + F.lit(1e-9), 6).alias("boot_lo"),
+        F.round(F.col("hi") / 100.0 + F.lit(1e-9), 6).alias("boot_hi"),
+    )
