@@ -291,3 +291,89 @@ def test_foreachbatch_incremental_mv_equals_batch(spark):
     got = {r.event_type: (r.n, float(r.s)) for r in final.collect()}
     exp = {r.event_type: (r.n, float(r.s)) for r in expect.collect()}
     assert got == exp
+
+
+def test_transform_with_state_in_pandas(spark):
+    """Spark 4's transformWithStateInPandas (the successor stateful API
+    with typed value/list/map state and timers). Its Python state
+    server needs google.protobuf, which this container does not ship —
+    the test documents the gap and runs the real thing wherever the
+    dependency exists (applyInPandasWithState covers the stateful
+    surface elsewhere in this suite)."""
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("google.protobuf not installed (needed by the "
+                    "transformWithState Python state server)")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = tempfile.mkdtemp(prefix="gibbon_tws_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        for s, v in [("a", 1.0), ("a", 5.0), ("b", 2.0), ("a", 3.0), ("b", 7.0)]:
+            f.write(f"{s},{v}\n")
+    schema = StructType(
+        [StructField("series", StringType()), StructField("v", DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).csv(src)
+    out_t = StructType(
+        [
+            StructField("series", StringType()),
+            StructField("n", LongType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("agg", "n BIGINT, vmax DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vmax = (self.state.get() if self.state.exists() else (0, float("-inf")))
+            for pdf in rows:
+                n += len(pdf)
+                vmax = max(vmax, float(pdf["v"].max()))
+            self.state.update((n, vmax))
+            yield pd.DataFrame({"series": [key[0]], "n": [n], "vmax": [vmax]})
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.groupBy("series").transformWithStateInPandas(
+            RunningMax(), outputStructType=out_t, outputMode="Update", timeMode="None"
+        )
+        rows = []
+        q = (
+            out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    final = {r.series: (r.n, r.vmax) for r in rows}
+    assert final == {"a": (3, 5.0), "b": (2, 7.0)}
