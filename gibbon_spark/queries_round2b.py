@@ -1854,3 +1854,120 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") / 100.0 + F.lit(1e-9), 6).alias("boot_lo"),
         F.round(F.col("hi") / 100.0 + F.lit(1e-9), 6).alias("boot_hi"),
     )
+
+
+# =========================================================================
+# A/B test: Welch z-test on a continuous metric between hash arms
+# =========================================================================
+
+
+@query(
+    "abtest_value_z",
+    """
+    WITH assign AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                       ::INTEGER % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n,
+             sum(CAST(yi AS DECIMAL(38,0))) AS s1,
+             sum(CAST(yi * yi AS DECIMAL(38,0))) AS s2
+      FROM assign GROUP BY arm
+    ),
+    calc AS (
+      SELECT
+        (SELECT n FROM arms WHERE arm = 'A') AS na,
+        (SELECT CAST(s1 AS DOUBLE) FROM arms WHERE arm = 'A') AS sa1,
+        (SELECT CAST(s2 AS DOUBLE) FROM arms WHERE arm = 'A') AS sa2,
+        (SELECT n FROM arms WHERE arm = 'B') AS nb,
+        (SELECT CAST(s1 AS DOUBLE) FROM arms WHERE arm = 'B') AS sb1,
+        (SELECT CAST(s2 AS DOUBLE) FROM arms WHERE arm = 'B') AS sb2
+    ),
+    z AS (
+      SELECT na, nb,
+             round(sa1 / na / 10000.0 + 1e-9, 6) AS mean_a,
+             round(sb1 / nb / 10000.0 + 1e-9, 6) AS mean_b,
+             round((sa1 / na - sb1 / nb)
+                   / sqrt(((na * sa2 - sa1 * sa1)
+                           / (CAST(na AS DOUBLE) * (na - 1))) / na
+                          + ((nb * sb2 - sb1 * sb1)
+                             / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)
+                   + 1e-9, 4) AS z_score
+      FROM calc
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, mean_a,
+           CAST(nb AS BIGINT) AS n_b, mean_b, z_score,
+           CASE WHEN abs(z_score) > 1.96 THEN 1 ELSE 0 END AS significant_95
+    FROM z
+    """,
+)
+def q_abtest_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a continuous metric: users are
+    hash-assigned to two arms (md5-bucket — reproducible, no RNG
+    state), and the arms' mean event values are compared with a Welch
+    z-test (variance from exact DECIMAL(38,0) integer moments of the
+    1e-4-scaled values; the z chain is one IEEE-deterministic
+    division/sqrt sequence on engine-identical sums, rounded BEFORE the
+    1.96 threshold so both engines flag identically even at the
+    boundary).
+
+    Scale posture: the whole readout is ONE map-side-combined aggregate
+    to 2 rows plus scalar math — experiment analysis at 100 TB costs a
+    single pass, no shuffle of raw events beyond the 2-row rollup."""
+    (events,) = _prep(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    yi = F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+    d38 = "decimal(38,0)"
+    arms = (
+        events.select(arm.alias("arm"), yi.alias("yi"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("yi").cast(d38)).alias("s1"),
+            F.sum((F.col("yi") * F.col("yi")).cast(d38)).alias("s2"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"),
+        F.col("s1").cast("double").alias("sa1"),
+        F.col("s2").cast("double").alias("sa2"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"),
+        F.col("s1").cast("double").alias("sb1"),
+        F.col("s2").cast("double").alias("sb2"),
+    )
+    wide = a.join(F.broadcast(b))
+    na, nb = F.col("na"), F.col("nb")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    # Welch: z = (mA - mB) / sqrt(vA/nA + vB/nB), with v the sample
+    # variance n*S2 - S1^2 over n(n-1); scale-invariant, so the 1e-4
+    # quantization factor cancels and no rescale is needed
+    var_a = (na * F.col("sa2") - F.col("sa1") * F.col("sa1")) / (
+        nad * (na - 1)
+    )
+    var_b = (nb * F.col("sb2") - F.col("sb1") * F.col("sb1")) / (
+        nbd * (nb - 1)
+    )
+    z = F.round(
+        (F.col("sa1") / na - F.col("sb1") / nb)
+        / F.sqrt(var_a / na + var_b / nb)
+        + F.lit(1e-9),
+        4,
+    )
+    return wide.select(
+        na.cast("bigint").alias("n_a"),
+        F.round(F.col("sa1") / na / 10000.0 + F.lit(1e-9), 6).alias("mean_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(F.col("sb1") / nb / 10000.0 + F.lit(1e-9), 6).alias("mean_b"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    )

@@ -23,6 +23,8 @@ ALLOWED_NESTED_LOOP = {
     "skew_key_stats",
     "graph_triangle_count",
     "embedding_top_pc",
+    "bootstrap_ci_revenue",
+    "abtest_value_z",
 }
 
 
