@@ -1971,3 +1971,248 @@ def q_abtest_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > 1.96).cast("int").alias("significant_95"),
     )
+
+
+# =========================================================================
+# CUPED: variance-reduced experiment readout via pre-period covariate
+# =========================================================================
+
+
+@query(
+    "abtest_cuped",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    bounds AS (
+      SELECT min(s) AS tmin,
+             min(s) + CAST(floor((max(s) - min(s)) / 2.0) AS BIGINT) AS thr
+      FROM e
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                       ::INTEGER % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             count(CASE WHEN s < thr THEN 1 END) AS nx,
+             CAST(sum(CASE WHEN s < thr
+                           THEN CAST(yi AS DECIMAL(38,0)) END) AS DOUBLE) AS sx,
+             count(CASE WHEN s >= thr THEN 1 END) AS ny,
+             CAST(sum(CASE WHEN s >= thr
+                           THEN CAST(yi AS DECIMAL(38,0)) END) AS DOUBLE) AS sy
+      FROM e, bounds
+      GROUP BY user_id, arm
+    ),
+    u AS (
+      SELECT arm,
+             CAST(floor(sx / nx + 0.5) AS BIGINT) AS xq,
+             CAST(floor(sy / ny + 0.5) AS BIGINT) AS yq
+      FROM per_user WHERE nx > 0 AND ny > 0
+    ),
+    g AS (
+      SELECT count(*) AS n,
+             sum(CAST(xq AS DECIMAL(38,0))) AS gx,
+             sum(CAST(yq AS DECIMAL(38,0))) AS gy,
+             sum(CAST(xq * xq AS DECIMAL(38,0))) AS gxx,
+             sum(CAST(xq * yq AS DECIMAL(38,0))) AS gxy
+      FROM u
+    ),
+    t AS (
+      SELECT n,
+             round((CAST(n AS DOUBLE) * CAST(gxy AS DOUBLE)
+                    - CAST(gx AS DOUBLE) * CAST(gy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(gxx AS DOUBLE)
+                      - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE))
+                   + 1e-9, 8) AS theta,
+             round(CAST(gx AS DOUBLE) / n + 1e-9, 4) AS xbar
+      FROM g
+    ),
+    adj AS (
+      SELECT arm,
+             yq,
+             CAST(floor(yq - theta * (xq - xbar) + 0.5) AS BIGINT) AS yadj
+      FROM u, t
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n,
+             sum(CAST(yq AS DECIMAL(38,0))) AS ry1,
+             sum(CAST(yq * yq AS DECIMAL(38,0))) AS ry2,
+             sum(CAST(yadj AS DECIMAL(38,0))) AS ay1,
+             sum(CAST(yadj * yadj AS DECIMAL(38,0))) AS ay2
+      FROM adj GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        (SELECT n FROM arms WHERE arm = 'A') AS na,
+        (SELECT CAST(ry1 AS DOUBLE) FROM arms WHERE arm = 'A') AS ra1,
+        (SELECT CAST(ry2 AS DOUBLE) FROM arms WHERE arm = 'A') AS ra2,
+        (SELECT CAST(ay1 AS DOUBLE) FROM arms WHERE arm = 'A') AS aa1,
+        (SELECT CAST(ay2 AS DOUBLE) FROM arms WHERE arm = 'A') AS aa2,
+        (SELECT n FROM arms WHERE arm = 'B') AS nb,
+        (SELECT CAST(ry1 AS DOUBLE) FROM arms WHERE arm = 'B') AS rb1,
+        (SELECT CAST(ry2 AS DOUBLE) FROM arms WHERE arm = 'B') AS rb2,
+        (SELECT CAST(ay1 AS DOUBLE) FROM arms WHERE arm = 'B') AS ab1,
+        (SELECT CAST(ay2 AS DOUBLE) FROM arms WHERE arm = 'B') AS ab2,
+        (SELECT theta FROM t) AS theta,
+        (SELECT n FROM t) AS n_users
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users, theta,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((ra1 / na - rb1 / nb) / 10000.0 + 1e-9, 6) AS raw_diff,
+           round((ra1 / na - rb1 / nb)
+                 / sqrt(((na * ra2 - ra1 * ra1)
+                         / (CAST(na AS DOUBLE) * (na - 1))) / na
+                        + ((nb * rb2 - rb1 * rb1)
+                           / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)
+                 + 1e-9, 4) AS z_raw,
+           round((aa1 / na - ab1 / nb)
+                 / sqrt(((na * aa2 - aa1 * aa1)
+                         / (CAST(na AS DOUBLE) * (na - 1))) / na
+                        + ((nb * ab2 - ab1 * ab1)
+                           / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)
+                 + 1e-9, 4) AS z_cuped
+    FROM wide
+    """,
+)
+def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: each user's
+    post-period mean is adjusted by their PRE-period mean
+    (y' = y - theta*(x - x_bar), theta = cov(x,y)/var(x)), which strips
+    the between-user variance the experiment didn't cause — the
+    standard technique for making a fixed-traffic experiment decide
+    faster. Pre/post split at the data's temporal midpoint (derived
+    deterministically from min/max); per-user means quantized to
+    integers; theta and x_bar from exact DECIMAL(38,0) moments,
+    QUANTIZED before the adjustment so every downstream double op is
+    engine-identical; both raw and CUPED-adjusted Welch z are reported
+    at the user level (the unit of randomization).
+
+    Scale posture: one per-user aggregate over the scan (map-side
+    combined), then all remaining math runs on the user-level frame —
+    one global-moment pass, one 1-row broadcast back (allow-listed),
+    one arm rollup. At 100 TB the expensive part is exactly one events
+    shuffle keyed by user."""
+    (events,) = _prep(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("yi"),
+    )
+    bounds = e.agg(
+        F.min("s").alias("tmin"),
+        (
+            F.min("s")
+            + F.floor((F.max("s") - F.min("s")) / 2.0).cast("bigint")
+        ).alias("thr"),
+    ).select("thr")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    d38 = "decimal(38,0)"
+    pre = F.col("s") < F.col("thr")
+    per_user = (
+        e.join(F.broadcast(bounds))
+        .groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.count(F.when(pre, 1)).alias("nx"),
+            F.sum(F.when(pre, F.col("yi").cast(d38))).cast("double").alias("sx"),
+            F.count(F.when(~pre, 1)).alias("ny"),
+            F.sum(F.when(~pre, F.col("yi").cast(d38))).cast("double").alias("sy"),
+        )
+    )
+    u = per_user.filter((F.col("nx") > 0) & (F.col("ny") > 0)).select(
+        "arm",
+        F.floor(F.col("sx") / F.col("nx") + 0.5).cast("bigint").alias("xq"),
+        F.floor(F.col("sy") / F.col("ny") + 0.5).cast("bigint").alias("yq"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xq").cast(d38)).alias("gx"),
+        F.sum(F.col("yq").cast(d38)).alias("gy"),
+        F.sum((F.col("xq") * F.col("xq")).cast(d38)).alias("gxx"),
+        F.sum((F.col("xq") * F.col("yq")).cast(d38)).alias("gxy"),
+    )
+    nd = F.col("n").cast("double")
+    t = g.select(
+        "n",
+        F.round(
+            (nd * F.col("gxy").cast("double")
+             - F.col("gx").cast("double") * F.col("gy").cast("double"))
+            / (nd * F.col("gxx").cast("double")
+               - F.col("gx").cast("double") * F.col("gx").cast("double"))
+            + F.lit(1e-9),
+            8,
+        ).alias("theta"),
+        F.round(F.col("gx").cast("double") / F.col("n") + F.lit(1e-9), 4).alias(
+            "xbar"
+        ),
+    )
+    adj = u.join(F.broadcast(t)).select(
+        "arm",
+        "yq",
+        F.floor(
+            F.col("yq") - F.col("theta") * (F.col("xq") - F.col("xbar")) + 0.5
+        )
+        .cast("bigint")
+        .alias("yadj"),
+        "theta",
+        "n",
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("yq").cast(d38)).cast("double").alias("ry1"),
+        F.sum((F.col("yq") * F.col("yq")).cast(d38)).cast("double").alias("ry2"),
+        F.sum(F.col("yadj").cast(d38)).cast("double").alias("ay1"),
+        F.sum((F.col("yadj") * F.col("yadj")).cast(d38))
+        .cast("double")
+        .alias("ay2"),
+        F.first("theta").alias("theta"),
+        F.first("n").alias("n_users"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("cnt").alias("na"),
+        F.col("ry1").alias("ra1"),
+        F.col("ry2").alias("ra2"),
+        F.col("ay1").alias("aa1"),
+        F.col("ay2").alias("aa2"),
+        "theta",
+        "n_users",
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("cnt").alias("nb"),
+        F.col("ry1").alias("rb1"),
+        F.col("ry2").alias("rb2"),
+        F.col("ay1").alias("ab1"),
+        F.col("ay2").alias("ab2"),
+    )
+    wide = a.join(F.broadcast(b))
+
+    def welch(s1a, s2a, s1b, s2b, na, nb):
+        nad, nbd = na.cast("double"), nb.cast("double")
+        va = (na * s2a - s1a * s1a) / (nad * (na - 1))
+        vb = (nb * s2b - s1b * s1b) / (nbd * (nb - 1))
+        return F.round(
+            (s1a / na - s1b / nb) / F.sqrt(va / na + vb / nb) + F.lit(1e-9), 4
+        )
+
+    na, nb = F.col("na"), F.col("nb")
+    return wide.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "theta",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(
+            (F.col("ra1") / na - F.col("rb1") / nb) / 10000.0 + F.lit(1e-9), 6
+        ).alias("raw_diff"),
+        welch(
+            F.col("ra1"), F.col("ra2"), F.col("rb1"), F.col("rb2"), na, nb
+        ).alias("z_raw"),
+        welch(
+            F.col("aa1"), F.col("aa2"), F.col("ab1"), F.col("ab2"), na, nb
+        ).alias("z_cuped"),
+    )

@@ -25,6 +25,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_top_pc",
     "bootstrap_ci_revenue",
     "abtest_value_z",
+    "abtest_cuped",
 }
 
 

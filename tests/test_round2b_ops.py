@@ -230,3 +230,53 @@ def test_streaming_hll_registers_match_batch(spark):
         .reset_index(drop=True)
     )
     assert stream_pdf.equals(batch_pdf)
+
+
+def test_cuped_against_numpy(spark):
+    """CUPED theta and both z statistics recomputed in numpy from the
+    same quantization pipeline must match the registry output."""
+    import hashlib
+
+    import numpy as np
+
+    from gibbon_spark.queries import _prep
+
+    got = _run(spark, "abtest_cuped").iloc[0]
+    (events,) = _prep(spark, SF_SMALL, "events")
+    pdf = events.select("user_id", "ts", "value").toPandas()
+    s = pdf["ts"].astype("int64") // 10**9
+    thr = s.min() + int(np.floor((s.max() - s.min()) / 2.0))
+    yi = np.floor(pdf["value"].to_numpy() * 10000 + 0.5)
+    users = {}
+    for uid, si, y in zip(pdf["user_id"], s, yi):
+        d = users.setdefault(uid, [[], []])
+        d[0 if si < thr else 1].append(y)
+    xq, yq, arms = [], [], []
+    for uid, (pre, post) in users.items():
+        if not pre or not post:
+            continue
+        xq.append(np.floor(np.sum(pre) / len(pre) + 0.5))
+        yq.append(np.floor(np.sum(post) / len(post) + 0.5))
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        arms.append("A" if h == 0 else "B")
+    xq, yq = np.array(xq), np.array(yq)
+    arms = np.array(arms)
+    n = len(xq)
+    theta = (n * np.sum(xq * yq) - xq.sum() * yq.sum()) / (
+        n * np.sum(xq * xq) - xq.sum() ** 2
+    )
+    assert got["n_users"] == n
+    assert abs(got["theta"] - theta) < 1e-6
+    xbar = round(xq.sum() / n + 1e-9, 4)
+    theta_q = round(theta + 1e-9, 8)
+    yadj = np.floor(yq - theta_q * (xq - xbar) + 0.5)
+
+    def welch(a, b):
+        return (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+
+    z_raw = welch(yq[arms == "A"], yq[arms == "B"])
+    z_cuped = welch(yadj[arms == "A"], yadj[arms == "B"])
+    assert abs(got["z_raw"] - z_raw) < 1e-3
+    assert abs(got["z_cuped"] - z_cuped) < 1e-3
