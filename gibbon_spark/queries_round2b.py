@@ -1718,14 +1718,26 @@ def _pois_case_sql(h: str) -> str:
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders
     ),
+    hashes AS (
+      SELECT cents,
+             [md5(CAST(okey AS VARCHAR) || ':0'),
+              md5(CAST(okey AS VARCHAR) || ':1'),
+              md5(CAST(okey AS VARCHAR) || ':2'),
+              md5(CAST(okey AS VARCHAR) || ':3')] AS hs
+      FROM base
+    ),
     expl AS (
-      SELECT okey, cents, unnest(range(0, {_BOOT_B})) AS b FROM base
+      SELECT cents, hs, unnest(range(0, {_BOOT_B})) AS b FROM hashes
+    ),
+    hv AS (
+      SELECT b, cents,
+             ('0x' || substr(hs[CAST(b // 8 AS INTEGER) + 1],
+                             CAST((b % 8) * 4 + 1 AS INTEGER), 4))::BIGINT AS h
+      FROM expl
     ),
     w AS (
-      SELECT b, cents,
-             {_pois_case_sql("('0x' || substr(md5(CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 4))::BIGINT")}
-               AS k
-      FROM expl
+      SELECT b, cents, {_pois_case_sql("h")} AS k
+      FROM hv
     ),
     rep AS (
       SELECT b,
@@ -1784,21 +1796,33 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    expl = base.select(
-        "okey", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    # 4 md5 calls per ORDER, 8 independent 16-bit draws sliced from
+    # each — 8x fewer hash evaluations than hashing per (order, replica)
+    # row. The md5s are emitted AS GENERATE OUTPUTS (posexplode of the
+    # 4-hash array) so they are evaluated once per order inside the
+    # generator; a plain pre-explode projection gets CollapseProject-
+    # inlined under the Generate and silently re-hashes per replica row
+    # (measured 3x slower).
+    md5s = F.array(
+        *[
+            F.md5(F.concat(F.col("okey").cast("string"), F.lit(f":{g}")))
+            for g in range(_BOOT_B // 8)
+        ]
+    )
+    groups = base.select("cents", F.posexplode(md5s).alias("g", "hval"))
+    expl = groups.select(
+        "cents",
+        "g",
+        "hval",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+    ).select(
+        "cents",
+        (F.col("g") * 8 + F.col("i")).alias("b"),
+        "hval",
+        "i",
     )
     h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("okey").cast("string"), F.lit(":"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            4,
-        ),
-        16,
-        10,
+        F.expr("substr(hval, cast(i * 4 + 1 as int), 4)"), 16, 10
     ).cast("bigint")
     k = F.when(h < _POIS_BOUNDS[0], 0)
     for i, bound in enumerate(_POIS_BOUNDS[1:], start=1):
