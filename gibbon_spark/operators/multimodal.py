@@ -462,3 +462,54 @@ def sample_frame_luma(
             )
 
     return frames.mapInPandas(decode, _FRAME_LUMA_SCHEMA)
+
+
+_AHASH_SCHEMA = "media_id long, ahash string"
+_AHASH_GRID = 8  # 8x8 average hash (the standard 64-bit pHash-family size)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash for image near-dup detection: decode the
+    gsraw image (payload bytes tiled row-major over width x height),
+    nearest-neighbor sample an 8x8 grid (the SAME index arithmetic as
+    resize_image), and set bit (r, c) iff pixel * 64 > sum(pixels) — a
+    strict integer comparison, so no division and no float anywhere:
+    the 64-char '0'/'1' hash is bit-exactly SQL-replayable. Images that
+    survive small edits (the reason for hashing pixels, not bytes) land
+    in the same bucket; downstream dedup is a plain groupBy on the
+    hash. Vectorized numpy per Arrow batch, no shuffle."""
+    imgs = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        g = _AHASH_GRID
+        r = np.arange(g, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                buf = np.frombuffer(
+                    bytes(payload) if payload is not None else b"\x00",
+                    dtype=np.uint8,
+                )
+                L = len(buf)
+                rows = (r * int(h)) // g
+                cols = (r * int(w)) // g
+                idx = (rows[:, None] * int(w) + cols[None, :]) % L
+                p = buf[idx].astype(np.int64)
+                total = int(p.sum())
+                bits = (p * (g * g) > total).astype(np.uint8).reshape(-1)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": hashes}
+            )
+
+    return imgs.mapInPandas(compute, _AHASH_SCHEMA)

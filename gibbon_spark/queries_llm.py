@@ -2406,3 +2406,59 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("n_lang") + F.lit(1e-9), 6
         ).alias("share"),
     )
+
+
+@query(
+    "multimodal_ahash_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, octet_length(encode(text)) AS L,
+             CAST(16 + octet_length(encode(text)) % 320 AS INT) AS w,
+             CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT media_id,
+             list_transform(range(0, 64),
+               j -> ord(substr(text,
+                 CAST((((((j // 8) * h) // 8) * w
+                        + (((j % 8) * w) // 8)) % L) AS INT) + 1, 1))) AS ps
+      FROM m
+    ),
+    hs AS (
+      SELECT media_id,
+             array_to_string(list_transform(ps,
+               p -> CASE WHEN p * 64 > list_sum(ps) THEN '1' ELSE '0' END),
+               '') AS ahash
+      FROM px
+    ),
+    grp AS (SELECT ahash, count(*) AS n_shared FROM hs GROUP BY ahash)
+    SELECT hs.media_id, hs.ahash, grp.n_shared,
+           CASE WHEN grp.n_shared > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM hs JOIN grp USING (ahash)
+    """,
+)
+def q_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: every gsraw image gets a 64-bit average
+    hash (8x8 nearest-neighbor downsample of the decoded bitmap, bit =
+    pixel*64 > sum — strict integer compare, no float), and images
+    sharing a hash are flagged as perceptual duplicates. Unlike
+    byte-level dedup_exact, the hash survives small pixel edits — the
+    image-side analog of MinHash for text, with the same "hash once,
+    groupBy the sketch" scale shape: one mapInPandas decode pass, one
+    hash-keyed aggregate, one keyed join back. The pixel sampling uses
+    the SAME index arithmetic as multimodal_decode_resize, so the
+    DuckDB oracle replays the full decode->downsample->threshold
+    pipeline bit-for-bit (operators/multimodal.py:image_ahash)."""
+    from gibbon_spark.operators import multimodal as mm
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm.documents_as_mixed_media(docs)
+    hashed = mm.image_ahash(media)
+    grp = hashed.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_shared"))
+    return hashed.join(grp, "ahash").select(
+        "media_id",
+        "ahash",
+        "n_shared",
+        (F.col("n_shared") > 1).cast("int").alias("is_dup"),
+    )
