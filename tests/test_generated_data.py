@@ -177,3 +177,28 @@ def test_bollinger_warmup_and_flat_series(spark):
     assert len(ramp) == 40 - (_BB_WINDOW - 1)
     # a noisy-free linear ramp still has positive spread in the frame
     assert (ramp["mid"] < ramp["upper_band"]).all()
+
+
+def test_ahash_uniform_and_structured_images(spark):
+    """A uniform image hashes to all-zeros (strict pixel*64 > sum is
+    false everywhere); two docs with identical text collide; a
+    structured gradient produces a balanced, deterministic hash."""
+    docs = [
+        (0, "a" * 96, "en", "web"),          # uniform image
+        (3, "identical payload text " * 4, "en", "web"),
+        (6, "identical payload text " * 4, "en", "web"),  # byte-equal dup
+        (9, "".join(chr(ord("a") + (i % 26)) for i in range(120)), "en", "web"),
+    ]
+    d = _write_documents(spark, docs)
+    got = (
+        entrymod.queries()["multimodal_ahash_dedup"](spark, d)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert set(got.index) == {0, 3, 6, 9}  # doc_id % 3 == 0 only
+    assert got.loc[0, "ahash"] == "0" * 64
+    assert got.loc[3, "ahash"] == got.loc[6, "ahash"]
+    assert got.loc[3, "n_shared"] == 2 and got.loc[3, "is_dup"] == 1
+    assert got.loc[9, "is_dup"] == 0
+    h9 = got.loc[9, "ahash"]
+    assert set(h9) <= {"0", "1"} and "1" in h9
