@@ -2240,3 +2240,127 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aa1"), F.col("aa2"), F.col("ab1"), F.col("ab2"), na, nb
         ).alias("z_cuped"),
     )
+
+
+# =========================================================================
+# Robust aggregation: trimmed and winsorized means per group
+# =========================================================================
+
+_TRIM_PCT = 5  # trim/winsorize 5% from each tail
+
+
+@query(
+    "agg_trimmed_mean",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, cents) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    ),
+    lim AS (
+      SELECT grp, cents, rn, n,
+             CAST(floor(n * {_TRIM_PCT} / 100.0) AS BIGINT) AS k
+      FROM ranked
+    ),
+    stats AS (
+      SELECT grp,
+             max(n) AS n,
+             max(k) AS k,
+             sum(CASE WHEN rn > k AND rn <= n - k
+                      THEN CAST(cents AS DECIMAL(38,0)) END) AS s_trim,
+             count(CASE WHEN rn > k AND rn <= n - k THEN 1 END) AS n_trim,
+             sum(CAST(CASE WHEN rn <= k THEN 0 WHEN rn > n - k THEN 0
+                           ELSE cents END AS DECIMAL(38,0))) AS s_mid,
+             min(CASE WHEN rn = k + 1 THEN cents END) AS lo_clip,
+             min(CASE WHEN rn = n - k THEN cents END) AS hi_clip,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s_all
+      FROM lim GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_trimmed_each_side,
+           round(CAST(s_all AS DOUBLE) / n / 100.0 + 1e-9, 6) AS mean_raw,
+           round(CAST(s_trim AS DOUBLE) / n_trim / 100.0 + 1e-9, 6)
+             AS mean_trimmed,
+           round((CAST(s_mid AS DOUBLE) + k * lo_clip + k * hi_clip)
+                 / n / 100.0 + 1e-9, 6) AS mean_winsorized
+    FROM stats
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation per group: the 5%-trimmed mean (drop each
+    tail) and the winsorized mean (CLAMP each tail to the cut values)
+    alongside the raw mean — the outlier-resistant summary for money
+    columns where one whale order distorts the average. Exact rank
+    windows (deterministic tie order on the value itself), integer-cent
+    sums in DECIMAL(38,0), single division at presentation.
+
+    Scale posture: one hash partitioning on the group key carries the
+    rank window, the tie-count window, and the aggregate (one exchange
+    + in-partition sort); per-group state is the group's rows — fine
+    for bounded-cardinality grouping keys like order priority, and the
+    docstring of percentiles_by_group documents the approx alternative
+    for unbounded keys."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "cents")
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n") * _TRIM_PCT / 100.0).cast("bigint")
+    )
+    d38 = "decimal(38,0)"
+    mid = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    stats = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.when(mid, F.col("cents").cast(d38))).alias("s_trim"),
+        F.count(F.when(mid, 1)).alias("n_trim"),
+        F.sum(
+            F.when(mid, F.col("cents")).otherwise(F.lit(0)).cast(d38)
+        ).alias("s_mid"),
+        F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo_clip"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("hi_clip"),
+        F.sum(F.col("cents").cast(d38)).alias("s_all"),
+    )
+    return stats.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("s_all").cast("double") / F.col("n") / 100.0 + F.lit(1e-9), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.col("s_trim").cast("double") / F.col("n_trim") / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_trimmed"),
+        F.round(
+            (
+                F.col("s_mid").cast("double")
+                + F.col("k") * F.col("lo_clip")
+                + F.col("k") * F.col("hi_clip")
+            )
+            / F.col("n")
+            / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_winsorized"),
+    )

@@ -280,3 +280,28 @@ def test_cuped_against_numpy(spark):
     z_cuped = welch(yadj[arms == "A"], yadj[arms == "B"])
     assert abs(got["z_raw"] - z_raw) < 1e-3
     assert abs(got["z_cuped"] - z_cuped) < 1e-3
+
+
+def test_trimmed_mean_matches_pandas(spark):
+    """Trimmed and winsorized means recomputed in pandas from the same
+    integer-cent quantization must match."""
+    import numpy as np
+
+    from gibbon_spark.queries import _prep
+    from gibbon_spark.queries_round2b import _TRIM_PCT
+
+    got = _run(spark, "agg_trimmed_mean").set_index("grp")
+    (orders,) = _prep(spark, SF_SMALL, "orders")
+    pdf = orders.select("o_orderpriority", "o_totalprice").toPandas()
+    pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype("int64")
+    for grp, g in pdf.groupby("o_orderpriority"):
+        c = np.sort(g["cents"].to_numpy())
+        n = len(c)
+        k = int(np.floor(n * _TRIM_PCT / 100.0))
+        r = got.loc[grp]
+        assert r["n_rows"] == n and r["n_trimmed_each_side"] == k
+        trimmed = c[k : n - k]
+        assert abs(r["mean_trimmed"] - trimmed.mean() / 100.0) < 1e-4
+        wins = np.clip(c, c[k], c[n - k - 1])
+        assert abs(r["mean_winsorized"] - wins.mean() / 100.0) < 1e-4
+        assert abs(r["mean_raw"] - c.mean() / 100.0) < 1e-4
