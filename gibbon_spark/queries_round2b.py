@@ -2364,3 +2364,103 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_winsorized"),
     )
+
+
+# =========================================================================
+# 2D skyline (Pareto frontier): maximal (price, recency) orders
+# =========================================================================
+
+
+@query(
+    "skyline_orders",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             max(o_orderdate) AS dt
+      FROM orders GROUP BY 1
+    ),
+    sky AS (
+      SELECT price_cents, dt FROM pts p WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price_cents >= p.price_cents AND q.dt >= p.dt
+          AND (q.price_cents > p.price_cents OR q.dt > p.dt))
+    )
+    SELECT s.price_cents, s.dt AS o_orderdate,
+           CAST(min(o.o_orderkey) AS BIGINT) AS rep_orderkey,
+           count(*) AS n_orders_at_point
+    FROM sky s
+    JOIN orders o
+      ON CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) = s.price_cents
+     AND o.o_orderdate = s.dt
+    GROUP BY s.price_cents, s.dt
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier): orders not dominated on
+    (totalprice, orderdate) — the multi-objective "best trade-offs"
+    operator (max price AND max recency). The scalable plan exploits
+    the skyline's DISTRIBUTIVITY: (1) collapse to one point per price
+    (max date — anything else at that price is dominated), (2) local
+    staircase per 64-way price bucket (descending-price window, keep
+    rows whose date beats the running max), (3) merge the bounded
+    candidate union with one final staircase — candidates are the sum
+    of 64 local skylines (expected O(log n) each for non-pathological
+    data; 8-13 points here at both gate SFs), so the final
+    partition-less window runs on a provably tiny frame, the same
+    bounded-merge posture as the Bloom/IVF patterns. The oracle is the
+    quadratic NOT EXISTS definition — definition and plan cross-check
+    each other.
+
+    A representative order id and multiplicity are joined back per
+    skyline point (broadcast of the tiny frontier)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    pts = (
+        orders.select(cents.alias("price_cents"), F.col("o_orderdate"))
+        .groupBy("price_cents")
+        .agg(F.max("o_orderdate").alias("dt"))
+    )
+    sentinel = F.lit("0001-01-01").cast("date")
+    bucket = F.pmod(F.col("price_cents"), F.lit(64))
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy(F.col("price_cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        pts.withColumn("b", bucket)
+        .withColumn(
+            "prev_max", F.coalesce(F.max("dt").over(w_local), sentinel)
+        )
+        .filter(F.col("dt") > F.col("prev_max"))
+        .select("price_cents", "dt")
+    )
+    w_glob = Window.orderBy(F.col("price_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        local.withColumn(
+            "prev_max", F.coalesce(F.max("dt").over(w_glob), sentinel)
+        )
+        .filter(F.col("dt") > F.col("prev_max"))
+        .select("price_cents", "dt")
+    )
+    return (
+        orders.select(
+            cents.alias("price_cents"),
+            F.col("o_orderdate").alias("dt"),
+            "o_orderkey",
+        )
+        .join(F.broadcast(sky), ["price_cents", "dt"])
+        .groupBy("price_cents", "dt")
+        .agg(
+            F.min("o_orderkey").cast("bigint").alias("rep_orderkey"),
+            F.count(F.lit(1)).alias("n_orders_at_point"),
+        )
+        .select(
+            "price_cents",
+            F.col("dt").alias("o_orderdate"),
+            "rep_orderkey",
+            "n_orders_at_point",
+        )
+    )
