@@ -2464,3 +2464,200 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders_at_point",
         )
     )
+
+
+# =========================================================================
+# Distributed Lloyd k-means (unrolled, integer-exact, oracle-replayable)
+# =========================================================================
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIMS = 64
+
+
+def _km_oracle_sql() -> str:
+    """Unrolled k-means oracle: quantized integer coordinates, exact
+    BIGINT squared distances, argmin via min(dist*16 + j) (tie -> the
+    lowest cluster id), quantized integer centroid means per round."""
+    k, d = _KM_K, _KM_DIMS
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+               AS ev
+      FROM embeddings, LATERAL unnest(range(1, {d} + 1)) AS t(i)
+    ),
+    seeds AS (
+      SELECT vec_id, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    c0 AS (
+      SELECT s.j, e.i, e.ev AS cv FROM seeds s JOIN e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+    d{t} AS (
+      SELECT e.vec_id, c.j,
+             sum((e.ev - c.cv) * (e.ev - c.cv)) AS dist
+      FROM e JOIN {prev} c ON c.i = e.i
+      GROUP BY e.vec_id, c.j
+    ),
+    a{t} AS (
+      SELECT vec_id,
+             CAST(min(dist * 16 + j) % 16 AS INT) AS j
+      FROM d{t} GROUP BY vec_id
+    ),
+    c{t} AS (
+      SELECT a.j, e.i,
+             CAST(floor(CAST(sum(e.ev) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+               AS cv
+      FROM a{t} a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY a.j, e.i
+    )"""
+        )
+        prev = f"c{t}"
+    T = _KM_ITERS
+    parts.append(
+        f""",
+    df AS (
+      SELECT e.vec_id, c.j,
+             sum((e.ev - c.cv) * (e.ev - c.cv)) AS dist
+      FROM e JOIN c{T} c ON c.i = e.i
+      GROUP BY e.vec_id, c.j
+    ),
+    af AS (
+      SELECT vec_id, CAST(min(dist * 16 + j) % 16 AS INT) AS j,
+             CAST(min(dist * 16 + j) // 16 AS BIGINT) AS dist
+      FROM df GROUP BY vec_id
+    )
+    ,
+    stats AS (
+      SELECT j, count(*) AS n_points, CAST(sum(dist) AS BIGINT) AS inertia
+      FROM af GROUP BY j
+    )
+    SELECT s.j AS cluster, s.n_points, s.inertia,
+           round(max(CASE WHEN c.i = 1 THEN c.cv END) / 10000.0 + 1e-9, 4)
+             AS c_dim1,
+           round(max(CASE WHEN c.i = 2 THEN c.cv END) / 10000.0 + 1e-9, 4)
+             AS c_dim2
+    FROM stats s JOIN c{T} c ON c.j = s.j AND c.i <= 2
+    GROUP BY s.j, s.n_points, s.inertia"""
+    )
+    return "".join(parts)
+
+
+@query("kmeans_embeddings", _km_oracle_sql())
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-DISTRIBUTED Lloyd k-means over the embedding corpus — the
+    clustering complement to embedding_top_pc's eigensolve, and unlike
+    the IVF codebook (which trains on a driver-side sample, FAISS
+    -style) every step here is a DataFrame operation: coordinates are
+    quantized once to 1e-4 integers, squared distances are exact BIGINT
+    sums, the argmin is min(dist*16 + j) (unique decode, ties to the
+    lowest cluster id — no float comparisons anywhere), and centroid
+    updates are quantized integer means. Three unrolled rounds from
+    md5-ranked seeds; the oracle replays the identical rounds, so a
+    k-means — normally the poster child for nondeterministic results —
+    hash-matches across engines. Emits per-cluster size, exact inertia,
+    and the first two centroid coordinates.
+
+    Scale posture: each round is two keyed aggregations over the
+    (point, dim) x centroid join — the centroid side is k x d = 512
+    rows, broadcast; localCheckpoint pins each round's centroids so
+    plan depth stays O(1) per round. Per-round cost is independent of
+    iteration count, the pagerank/power-iteration posture."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "ef")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("ef").cast("double") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("ev"),
+    )
+    seeds = (
+        emb.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("j"),
+        )
+    )
+    c = (
+        seeds.join(e, "vec_id")
+        .select("j", "i", F.col("ev").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cent):
+        d = (
+            e.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "j")
+            .agg(
+                F.sum(
+                    (F.col("ev") - F.col("cv")) * (F.col("ev") - F.col("cv"))
+                ).alias("dist")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            (F.min(F.col("dist") * 16 + F.col("j")) % 16)
+            .cast("int")
+            .alias("j"),
+            F.expr("cast(min(dist * 16 + j) div 16 as bigint)").alias("dist"),
+        )
+
+    for _ in range(_KM_ITERS):
+        a = assign(c)
+        c = (
+            a.select("vec_id", "j")
+            .join(e, "vec_id")
+            .groupBy("j", "i")
+            .agg(
+                F.floor(
+                    F.sum("ev").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                .cast("bigint")
+                .alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    af = assign(c)
+    stats = af.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )
+    cdims = c.filter(F.col("i") <= 2)
+    return (
+        stats.join(F.broadcast(cdims), "j")
+        .groupBy("j", "n_points", "inertia")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("i") == 1, F.col("cv"))) / 10000.0
+                + F.lit(1e-9),
+                4,
+            ).alias("c_dim1"),
+            F.round(
+                F.max(F.when(F.col("i") == 2, F.col("cv"))) / 10000.0
+                + F.lit(1e-9),
+                4,
+            ).alias("c_dim2"),
+        )
+        .select(
+            F.col("j").alias("cluster"),
+            "n_points",
+            "inertia",
+            "c_dim1",
+            "c_dim2",
+        )
+    )
