@@ -2661,3 +2661,74 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_dim2",
         )
     )
+
+
+# =========================================================================
+# Classical seasonal index: monthly revenue vs overall baseline
+# =========================================================================
+
+
+@query(
+    "orders_seasonal_index",
+    """
+    WITH base AS (
+      SELECT CAST(extract(month FROM o_orderdate) AS INT) AS month,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT month, count(*) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s
+      FROM base GROUP BY month
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(s) AS DOUBLE) AS s_all
+      FROM m
+    )
+    SELECT m.month,
+           CAST(m.n AS BIGINT) AS n_orders,
+           round(CAST(m.s AS DOUBLE) / m.n / 100.0 + 1e-9, 6) AS month_mean,
+           round((CAST(m.s AS DOUBLE) / m.n)
+                 / (g.s_all / g.n_all) + 1e-9, 6) AS seasonal_index
+    FROM m, g
+    """,
+)
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal index on the relational table:
+    mean order value per calendar month divided by the overall mean —
+    the month-of-year demand profile (index 1.0 = typical month) that
+    classical decomposition and staffing/inventory models start from.
+    Integer-cent DECIMAL sums, one IEEE-deterministic division chain,
+    6-dp presentation.
+
+    Scale posture: one map-side-combined aggregate to 12 rows, a 1-row
+    global baseline broadcast onto them (allow-listed O(1) scalar
+    fan-out) — the whole profile costs a single scan at any corpus
+    size."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    base = orders.select(
+        F.month("o_orderdate").alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    m = base.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+    )
+    g = m.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("double").alias("s_all"),
+    )
+    return m.join(F.broadcast(g)).select(
+        "month",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(
+            F.col("s").cast("double") / F.col("n") / 100.0 + F.lit(1e-9), 6
+        ).alias("month_mean"),
+        F.round(
+            (F.col("s").cast("double") / F.col("n"))
+            / (F.col("s_all") / F.col("n_all"))
+            + F.lit(1e-9),
+            6,
+        ).alias("seasonal_index"),
+    )

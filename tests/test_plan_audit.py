@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "bootstrap_ci_revenue",
     "abtest_value_z",
     "abtest_cuped",
+    "orders_seasonal_index",
 }
 
 
