@@ -19,6 +19,7 @@ from gibbon_spark import queries as _registry  # noqa: E402
 import gibbon_spark.queries_llm  # noqa: E402,F401  (registers LLM-pipeline queries)
 import gibbon_spark.queries_round2  # noqa: E402,F401  (round-2 additions)
 import gibbon_spark.queries_round2b  # noqa: E402,F401  (round-2 batch B)
+import gibbon_spark.queries_round2c  # noqa: E402,F401  (round-2 batch E)
 
 
 def entry(spark: SparkSession) -> DataFrame:

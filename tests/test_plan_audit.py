@@ -27,6 +27,8 @@ ALLOWED_NESTED_LOOP = {
     "abtest_value_z",
     "abtest_cuped",
     "orders_seasonal_index",
+    "benford_digit_audit",
+    "rfm_segments",
 }
 
 

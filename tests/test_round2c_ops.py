@@ -1,0 +1,106 @@
+"""Invariant tests for the round-2 batch E operators
+(gibbon_spark/queries_round2c.py) — properties the oracle compare
+cannot see (cross-checks against independent numpy/pandas
+recomputation, structural invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL).toPandas()
+
+
+def test_fuzzy_pairs_blocked_and_bounded(spark):
+    pdf = _run(spark, "fuzzy_match_partnames")
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        # within-block: identical last token; canonical order; bounded dist
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]
+        assert r.name_a < r.name_b
+        assert 1 <= r.edit_dist <= 4
+        assert r.n_parts_a > 0 and r.n_parts_b > 0
+
+
+def test_geo_nearest_matches_bruteforce_within_neighborhood(spark):
+    import hashlib
+
+    pdf = _run(spark, "geo_grid_nearest")
+    assert len(pdf) > 0
+
+    def h(prefix, key):
+        return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8], 16) % 10000
+
+    sup = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").toPandas()
+    sup["sx"] = [h("sx:", k) for k in sup.s_suppkey]
+    sup["sy"] = [h("sy:", k) for k in sup.s_suppkey]
+    checked = 0
+    for _, r in pdf.head(40).iterrows():
+        cx, cy = h("gx:", r.c_custkey), h("gy:", r.c_custkey)
+        cellx, celly = cx // 1000, cy // 1000
+        cand = sup[
+            (abs(sup.sx // 1000 - cellx) <= 1) & (abs(sup.sy // 1000 - celly) <= 1)
+        ].copy()
+        assert len(cand) == r.n_candidates
+        cand["d2"] = (cand.sx - cx) ** 2 + (cand.sy - cy) ** 2
+        best = cand.d2.min()
+        assert best == r.dist_sq
+        assert r.nearest_suppkey == cand[cand.d2 == best].s_suppkey.min()
+        checked += 1
+    assert checked > 0
+
+
+def test_mad_outliers_matches_numpy(spark):
+    pdf = _run(spark, "agg_mad_outliers").set_index("o_orderpriority")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    for pri, grp in orders.groupby("o_orderpriority"):
+        med = round(float(np.median(grp.o_totalprice)) + 1e-9, 4)
+        ad = np.round(np.abs(grp.o_totalprice - med) + 1e-9, 4)
+        mad = round(float(np.median(ad)) + 1e-9, 4)
+        row = pdf.loc[pri]
+        assert row.median_price == med
+        assert row.mad == mad
+        assert row.n_outliers == int((ad > 3 * mad).sum())
+        assert row.n_orders == len(grp)
+
+
+def test_benford_shares_and_counts(spark):
+    pdf = _run(spark, "benford_digit_audit")
+    assert set(pdf.digit) == {str(d) for d in range(1, 10)}
+    total = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert pdf.n_orders.sum() == total
+    assert abs(pdf.share.sum() - 1.0) < 1e-4
+    assert abs(pdf.expected_share.sum() - 1.0) < 1e-4
+    assert (pdf.chi_term >= 0).all()
+
+
+def test_rfm_scores_partition_customers(spark):
+    pdf = _run(spark, "rfm_segments")
+    for c in ("r_score", "f_score", "m_score"):
+        assert pdf[c].between(1, 5).all()
+    n_cust = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert pdf.n_customers.sum() == n_cust
+    # quintile cuts: no single score bucket may hold everything
+    assert pdf.groupby("r_score").n_customers.sum().max() < n_cust
+
+
+def test_recursive_chain_depth_and_root(spark):
+    pdf = _run(spark, "recursive_supplier_chain").set_index("s_suppkey")
+    sup = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").toPandas()
+    assert len(pdf) == len(sup)
+    for s in sup.s_suppkey:
+        k, depth = int(s), 0
+        while k >= 8:
+            k //= 8
+            depth += 1
+        assert pdf.loc[s].depth == depth
+        assert pdf.loc[s].root_suppkey == k
