@@ -104,3 +104,56 @@ def test_recursive_chain_depth_and_root(spark):
             depth += 1
         assert pdf.loc[s].depth == depth
         assert pdf.loc[s].root_suppkey == k
+
+
+# ---- batch F (queries_round2d.py) ----
+
+
+def test_table_diff_finds_exactly_the_corrupted_rows(spark):
+    import hashlib
+
+    pdf = _run(spark, "table_diff_checksum")
+    assert len(pdf) == 64
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+
+    def corrupted(k):
+        return int(hashlib.md5(f"corrupt:{k}".encode()).hexdigest()[:4], 16) % 200 == 0
+
+    bad = {int(k) for k in orders.o_orderkey if corrupted(k)}
+    bad_buckets = {k % 64 for k in bad}
+    got_bad = set(pdf[~pdf.checksums_match].bucket)
+    assert got_bad == bad_buckets
+    assert pdf.n_diff_rows.sum() == len(bad)
+    assert (pdf[pdf.checksums_match].n_diff_rows == 0).all()
+
+
+def test_attribution_channels_partition_purchases(spark):
+    pdf = _run(spark, "events_attribution_last_touch")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    n_purch = (ev.event_type == "purchase").sum()
+    assert pdf.n_purchases.sum() == n_purch
+    assert set(pdf.channel) <= {"click", "view", "none"}
+
+
+def test_hampel_spikes_subset_and_median_robust(spark):
+    pdf = _run(spark, "ts_hampel_filter")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert len(pdf) == ev
+    assert (pdf.roll_mad >= 0).all()
+    # a constant series can never flag spikes; overall rate must be modest
+    assert 0 <= pdf.is_spike.mean() < 0.5
+
+
+def test_conversion_lag_buckets_cover_signups(spark):
+    pdf = _run(spark, "conversion_lag_histogram").set_index("lag_bucket")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    n_signup_users = ev[ev.event_type == "signup"].user_id.nunique()
+    assert pdf.n_users.sum() == n_signup_users
+    for b in pdf.index:
+        assert b in {
+            "no_purchase_after_signup",
+            "same_day",
+            "within_week",
+            "within_month",
+            "over_month",
+        }
