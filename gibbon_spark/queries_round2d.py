@@ -429,3 +429,345 @@ def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lag_days").cast("bigint").alias("max_days"),
         )
     )
+
+
+# =========================================================================
+# Two-sample Kolmogorov-Smirnov distance (integer-exact, windowless cumsum)
+# =========================================================================
+
+
+@query(
+    "abtest_ks_distance",
+    """
+    WITH assign AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                       ::INTEGER % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yi
+      FROM events
+    ),
+    g AS (
+      SELECT yi,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+      FROM assign GROUP BY yi
+    ),
+    c AS (
+      SELECT sum(ca) OVER (ORDER BY yi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cuma,
+             sum(cb) OVER (ORDER BY yi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM assign
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) + 1e-9, 6)
+             AS ks_d
+    FROM c, t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_abtest_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the A and B arms'
+    event-value distributions (same md5 hash assignment as
+    abtest_value_z — the distribution-shape complement to its
+    mean-difference z-test). Values are integerized at 4 dp, so the KS
+    statistic's numerator max|cumA*nB - cumB*nA| is EXACT integer
+    arithmetic in DECIMAL(38,0); only the final ratio is floated.
+
+    Scale posture: the empirical-CDF running sums use the TWO-LEVEL
+    windowless decomposition (operators/ranking.py discipline):
+    repartitionByRange on the value, per-partition cumsums, and a
+    P-row broadcast offset table — both arms' cumsums ride ONE range
+    shuffle; no partition-less window anywhere. The arm totals are a
+    one-row broadcast (allow-listed scalar fan-out). The final max is
+    an ordinary map-side-combined aggregate."""
+    (events,) = _prep(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+        == 0
+    )
+    assign = events.select(
+        arm_a.alias("is_a"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("yi"),
+    )
+    g = assign.groupBy("yi").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    # two-level global cumsum of (ca, cb) in yi order — no whole-frame window
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    by_range = g.repartitionByRange(n_parts, F.col("yi")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("yi")
+    local = by_range.withColumn("_la", F.sum("ca").over(w_local)).withColumn(
+        "_lb", F.sum("cb").over(w_local)
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        by_range.groupBy("_pid")
+        .agg(F.sum("ca").alias("_pa"), F.sum("cb").alias("_pb"))
+        .withColumn("_oa", F.sum("_pa").over(w_off))
+        .withColumn("_ob", F.sum("_pb").over(w_off))
+        .select("_pid", "_oa", "_ob")
+    )
+    c = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.coalesce(F.col("_oa"), F.lit(0)) + F.col("_la")).alias("cuma"),
+            (F.coalesce(F.col("_ob"), F.lit(0)) + F.col("_lb")).alias("cumb"),
+        )
+    )
+    t = assign.agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    )
+    dev = F.abs(
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(dev).cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                + F.lit(1e-9),
+                6,
+            ).alias("ks_d")
+        )
+        .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_d")
+    )
+
+
+# =========================================================================
+# Exact weighted median per group (cumulative-weight scan)
+# =========================================================================
+
+
+@query(
+    "weighted_median_lineitem",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, round(l_extendedprice + 1e-9, 2) AS v,
+             sum(CAST(l_quantity AS BIGINT)) AS wv
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, v, wv,
+             sum(wv) OVER (PARTITION BY flag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw
+      FROM g
+    ),
+    t AS (SELECT flag, CAST(sum(wv) AS BIGINT) AS total_w FROM g GROUP BY flag)
+    SELECT c.flag AS l_returnflag, t.total_w AS total_weight,
+           min(c.v) AS weighted_median_price
+    FROM c JOIN t USING (flag)
+    WHERE 2 * c.cumw >= t.total_w
+    GROUP BY c.flag, t.total_w
+    """,
+)
+def q_weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower weighted median: smallest value
+    whose cumulative weight reaches half the total) of extended price
+    per return flag, weighted by quantity — the weighted-quantile
+    operator plain percentile() cannot express.
+
+    Scale posture: the frame is pre-shrunk to DISTINCT (flag, price)
+    with summed integer weights before any ordering (map-side combine),
+    and group cardinality is bounded (3 return flags), the same
+    holistic-safety argument as percentiles_prices; for unbounded
+    groups or wider domains, the cumulative scan drops into the
+    two-level range-partitioned cumsum used by abtest_ks_distance. All
+    weights are integers, the threshold compare is 2*cumw >= total in
+    BIGINT — no float boundary anywhere."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") + F.lit(1e-9), 2).alias("v"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("flag", "v")
+        .agg(F.sum("w").alias("wv"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cumw", F.sum("wv").over(w_cum))
+    t = g.groupBy("flag").agg(F.sum("wv").alias("total_w"))
+    return (
+        c.join(F.broadcast(t), "flag")
+        .where(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("flag", "total_w")
+        .agg(F.min("v").alias("weighted_median_price"))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("total_w").alias("total_weight"),
+            "weighted_median_price",
+        )
+    )
+
+
+# =========================================================================
+# Sessionized event-path mining (top 3-step paths)
+# =========================================================================
+
+_PATH_TOP_K = 20
+_PATH_GAP_S = 1800
+
+
+@query(
+    "event_path_trigrams",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > {_PATH_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sno
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w2 AS t2,
+             lead(event_type, 2) OVER w2 AS t3,
+             sno,
+             lead(sno, 1) OVER w2 AS s2,
+             lead(sno, 2) OVER w2 AS s3
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat_ws('>', t1, t2, t3) AS path, count(*) AS n_paths
+    FROM tri
+    WHERE s3 = sno AND s2 = sno
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT {_PATH_TOP_K}
+    """,
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path mining: the top-20 3-step event-type paths
+    users take WITHIN a session (30-min inactivity gap) — the
+    navigation-pattern / clickstream-mining query.
+
+    Scale posture: sessions and the 3-step shingles both come from
+    windows over the SAME (user_id) partitioning and (ts, event_id)
+    sort — the session boundary is threaded through lead() of the
+    session number rather than re-partitioning by (user, session), so
+    the whole pipeline is ONE exchange of events. Path counts shrink in
+    a map-side-combined aggregate and the global top-20 is TakeOrdered
+    (no full sort). Count-desc + path tiebreak keeps the cut
+    deterministic."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col("ts").cast("timestamp"))
+           - F.unix_timestamp(prev_ts.cast("timestamp")) > _PATH_GAP_S)
+    ).cast("long")
+    sess = events.withColumn(
+        "sno",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        "sno",
+        F.lead("sno", 1).over(w).alias("s2"),
+        F.lead("sno", 2).over(w).alias("s3"),
+    )
+    return (
+        tri.where((F.col("s3") == F.col("sno")) & (F.col("s2") == F.col("sno")))
+        .groupBy(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(_PATH_TOP_K)
+    )
+
+
+# =========================================================================
+# Unigram-LM fluency scoring (rational arithmetic, no libm)
+# =========================================================================
+
+
+@query(
+    "text_unigram_fluency",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(cnt.c) AS BIGINT) AS sum_freq,
+           round(CAST(sum(cnt.c) AS DOUBLE)
+                 / (count(*) * (SELECT total FROM n)) + 1e-9, 6)
+             AS fluency
+    FROM toks t JOIN cnt USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score per document: the mean corpus
+    frequency of the document's tokens, normalized by the corpus token
+    count — the likelihood-under-a-unigram-LM quality signal
+    (rare-token-heavy documents score low), kept RATIONAL (integer
+    count sums, one final division) so no libm log/exp enters the
+    oracle-paired path — the same no-libm discipline as
+    tfidf_top_terms' rational idf.
+
+    Scale posture: explode → token-keyed count → token-keyed join back
+    → doc-keyed sum: every shuffle is keyed, the hot-token join is
+    per-occurrence against a ONE-ROW-per-token count table (no
+    replication blow-up), and the corpus total is a one-row broadcast
+    (allow-listed scalar fan-out)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("c").alias("sum_freq"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            F.round(
+                F.col("sum_freq").cast("double")
+                / (F.col("n_tokens") * F.col("total"))
+                + F.lit(1e-9),
+                6,
+            ).alias("fluency"),
+        )
+    )

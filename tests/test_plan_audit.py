@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     "orders_seasonal_index",
     "benford_digit_audit",
     "rfm_segments",
+    "abtest_ks_distance",
+    "text_unigram_fluency",
 }
 
 

@@ -157,3 +157,64 @@ def test_conversion_lag_buckets_cover_signups(spark):
             "within_month",
             "over_month",
         }
+
+
+# ---- batch G (queries_round2d.py, part 2) ----
+
+
+def test_ks_distance_matches_scipy_style_recompute(spark):
+    import hashlib
+
+    pdf = _run(spark, "abtest_ks_distance")
+    assert len(pdf) == 1
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    arm_a = ev.user_id.map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2 == 0
+    )
+    yi = np.floor(ev.value * 10000 + 0.5).astype("int64")
+    a = np.sort(yi[arm_a].values)
+    b = np.sort(yi[~arm_a].values)
+    na, nb = len(a), len(b)
+    assert pdf.n_a[0] == na and pdf.n_b[0] == nb
+    grid = np.unique(yi.values)
+    cdfa = np.searchsorted(a, grid, side="right") / na
+    cdfb = np.searchsorted(b, grid, side="right") / nb
+    d = np.abs(cdfa - cdfb).max()
+    assert abs(pdf.ks_d[0] - d) < 1e-5
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    pdf = _run(spark, "weighted_median_lineitem").set_index("l_returnflag")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    li["v"] = np.round(li.l_extendedprice + 1e-9, 2)
+    li["w"] = li.l_quantity.astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values("v")
+        cum = g.w.cumsum()
+        total = int(g.w.sum())
+        med = float(g.v[(2 * cum) >= total].iloc[0])
+        row = pdf.loc[flag]
+        assert row.total_weight == total
+        assert row.weighted_median_price == med
+
+
+def test_event_paths_valid_and_ranked(spark):
+    pdf = _run(spark, "event_path_trigrams")
+    assert 0 < len(pdf) <= 20
+    assert (pdf.n_paths.values == pdf.sort_values(
+        ["n_paths"], ascending=False).n_paths.values).all()
+    types = {"view", "click", "purchase", "signup", "error"}
+    for p in pdf.path:
+        assert all(step in types for step in p.split(">"))
+
+
+def test_unigram_fluency_bounds_and_extremes(spark):
+    pdf = _run(spark, "text_unigram_fluency")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(pdf) == docs
+    assert (pdf.fluency > 0).all()
+    # mean corpus frequency of a token can never exceed the most common
+    # token's share, which is < 1
+    assert (pdf.fluency < 1).all()
+    # sum_freq >= n_tokens (every token occurs at least once)
+    assert (pdf.sum_freq >= pdf.n_tokens).all()
