@@ -203,6 +203,88 @@ def jaccard_pairs_prefix(
     )
 
 
+def containment_pairs_prefix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs ≥ threshold (Broder containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)|) via the ASYMMETRIC prefix filter.
+
+    Containment is the dedup signal Jaccard misses: a short document
+    fully quoted inside a much longer one has Jaccard ≈ |A|/|B| (tiny)
+    but containment 1.0 — and MinHash-LSH, which recalls by Jaccard,
+    structurally cannot find such pairs. The asymmetric prefix filter
+    can, losslessly: if C(A→B) ≥ t then A shares ≥ ⌈t·|A|⌉ shingles
+    with B, so at least one shared shingle lies among A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles in global rarest-first order. Probing
+    the FULL index with only that prefix of the contained side finds
+    every qualifying pair; results are identical to the naive
+    all-pairs join (the oracle).
+
+    Scale posture: the probe side carries only each doc's RAREST
+    shingles (bounded by (1−t)·|doc|+1 rows), so hot boilerplate
+    shingles never enter the probe; posting-list blowup on the index
+    side is bounded by df(rarest probe shingle). The exact-intersection
+    verify joins candidates back to the inverted index keyed on
+    (id, shingle) — every shuffle keyed, no replication."""
+    t = float(threshold)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_pos = Window.partitionBy("id").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("id")
+    # −1e-9 guard as in jaccard_pairs_prefix: float ceil() must not
+    # overshoot (a shorter prefix would lose pairs)
+    min_shared = F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
+    probe = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("pos") <= F.col("n_sh") - min_shared + 1)
+        .select("id", "shingle", "n_sh")
+    )
+    cand = (
+        probe.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_contained"),
+            F.col("b.id").alias("id_container"),
+            F.col("a.n_sh").alias("n_contained"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_container"))
+    sh_a = sh.select(F.col("id").alias("id_contained"), F.col("shingle").alias("_sh"))
+    sh_b = sh.select(F.col("id").alias("id_container"), F.col("shingle").alias("_sh"))
+    out = (
+        cand.join(sh_a, "id_contained")
+        .join(sh_b, ["id_container", "_sh"])
+        .groupBy("id_contained", "id_container", "n_contained")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sizes.withColumnRenamed("id", "id_container"), "id_container")
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("n_contained"), 6)
+        )
+        .filter(F.col("containment") >= t)
+        .select(
+            "id_contained",
+            "id_container",
+            "n_inter",
+            "n_contained",
+            "n_container",
+            "containment",
+        )
+    )
+    return out
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,

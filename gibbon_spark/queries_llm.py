@@ -265,6 +265,38 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(docs, n=3, threshold=0.5)
 
 
+@query(
+    "dedup_containment",
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_contained, id_container, CAST(n_inter AS BIGINT) AS n_inter,
+           x.n_sh AS n_contained, y.n_sh AS n_container,
+           round(n_inter / x.n_sh, 6) AS containment
+    FROM pairs p
+    JOIN sizes x ON p.id_contained = x.doc_id
+    JOIN sizes y ON p.id_container = y.doc_id
+    WHERE round(n_inter / x.n_sh, 6) >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (C(A→B) = |∩|/|A| ≥ 0.5)
+    via the asymmetric prefix filter — the dedup signal Jaccard-based
+    passes miss: a short document quoted inside a long one has tiny
+    Jaccard (so MinHash-LSH, which recalls by Jaccard, cannot find it)
+    but containment ≈ 1. Oracle is the naive all-pairs inverted-index
+    SQL; the prefix-filtered plan returns identical rows (lossless-ness
+    argument at operators/dedup.py::containment_pairs_prefix)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.containment_pairs_prefix(docs, n=3, threshold=0.5)
+
+
 def _minhash_oracle_sql(num_hashes: int = 12, bands: int = 4, min_est: float = 0.5) -> str:
     r = num_hashes // bands
     sig_cols = ", ".join(

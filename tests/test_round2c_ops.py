@@ -218,3 +218,26 @@ def test_unigram_fluency_bounds_and_extremes(spark):
     assert (pdf.fluency < 1).all()
     # sum_freq >= n_tokens (every token occurs at least once)
     assert (pdf.sum_freq >= pdf.n_tokens).all()
+
+
+def test_containment_matches_bruteforce_sets(spark):
+    pdf = _run(spark, "dedup_containment")
+    assert len(pdf) > 0
+    assert pdf.containment.between(0.5, 1.0).all()
+    assert (pdf.n_inter <= pdf.n_contained).all()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+
+    def sh3(text):
+        t = text.split()
+        if len(t) <= 3:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {r.doc_id: sh3(r.text) for r in docs.itertuples()}
+    expected = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and round(len(sa & sb) / len(sa), 6) >= 0.5:
+                expected.add((a, b))
+    got = set(zip(pdf.id_contained, pdf.id_container))
+    assert got == expected
