@@ -771,3 +771,201 @@ def q_text_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fluency"),
         )
     )
+
+
+# =========================================================================
+# Linear (multi-touch) attribution — complements last-touch
+# =========================================================================
+
+
+@query(
+    "events_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type AS channel FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.event_id, p.cents,
+             count(*) AS n_t,
+             sum(CASE WHEN t.channel = 'click' THEN 1 ELSE 0 END) AS n_click
+      FROM p JOIN t
+        ON t.user_id = p.user_id AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+      GROUP BY p.event_id, p.cents
+    ),
+    shares AS (
+      SELECT round(cents * n_click / (100.0 * n_t) + 1e-9, 4) AS click_rev,
+             round(cents * (n_t - n_click) / (100.0 * n_t) + 1e-9, 4) AS view_rev
+      FROM j
+    ),
+    attributed AS (
+      SELECT count(*) AS n_purchases_attributed,
+             round(CAST(sum(CAST(click_rev AS DECIMAL(24,4))) AS DOUBLE)
+                   + 1e-9, 2) AS revenue_click,
+             round(CAST(sum(CAST(view_rev AS DECIMAL(24,4))) AS DOUBLE)
+                   + 1e-9, 2) AS revenue_view
+      FROM shares
+    ),
+    unattributed AS (
+      SELECT count(*) AS n_purchases_none,
+             round(CAST(sum(CAST(round(p.cents / 100.0 + 1e-9, 4)
+                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+               AS revenue_none
+      FROM p WHERE p.event_id NOT IN (SELECT event_id FROM j)
+    )
+    SELECT a.n_purchases_attributed, a.revenue_click, a.revenue_view,
+           u.n_purchases_none, coalesce(u.revenue_none, 0.0) AS revenue_none
+    FROM attributed a, unattributed u
+    """,
+)
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution: every purchase's value is
+    split EQUALLY across all of the user's click/view touches in the
+    7-day lookback — the fairness-spread complement to
+    events_attribution_last_touch. Purchases with no in-window touch
+    report separately as unattributed.
+
+    Parity discipline: purchase values are integerized to cents; each
+    purchase's per-channel share cents*n_ch/(100*n_t) is quantized at
+    4 dp BEFORE the decimal sum, so the only division happens once per
+    purchase on integer inputs and the channel totals are order-free
+    exact sums.
+
+    Scale posture: the touch join is user-keyed with the time-range
+    conjunct evaluated inside the sort-merge (the
+    funnel_abandoned_clicks shape); fan-out is bounded by a user's
+    touches-per-week, and the per-purchase aggregate collapses it
+    immediately. The unattributed side is a LEFT ANTI join on the
+    purchase id — no NOT IN materialization at scale (Spark side uses
+    the anti join directly)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    t = events.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") <= F.col("ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAYS")
+            ),
+        )
+        .groupBy("event_id", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum((F.col("channel") == "click").cast("long")).alias("n_click"),
+        )
+    )
+    click_rev = F.round(
+        F.col("cents") * F.col("n_click") / (F.lit(100.0) * F.col("n_t"))
+        + F.lit(1e-9),
+        4,
+    )
+    view_rev = F.round(
+        F.col("cents")
+        * (F.col("n_t") - F.col("n_click"))
+        / (F.lit(100.0) * F.col("n_t"))
+        + F.lit(1e-9),
+        4,
+    )
+    attributed = j.agg(
+        F.count(F.lit(1)).alias("n_purchases_attributed"),
+        F.round(
+            F.sum(click_rev.cast("decimal(24,4)")).cast("double") + F.lit(1e-9), 2
+        ).alias("revenue_click"),
+        F.round(
+            F.sum(view_rev.cast("decimal(24,4)")).cast("double") + F.lit(1e-9), 2
+        ).alias("revenue_view"),
+    )
+    unattributed = (
+        p.join(j.select("event_id"), "event_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases_none"),
+            F.coalesce(
+                F.round(
+                    F.sum(
+                        F.round(F.col("cents") / F.lit(100.0) + F.lit(1e-9), 4).cast(
+                            "decimal(24,4)"
+                        )
+                    ).cast("double")
+                    + F.lit(1e-9),
+                    2,
+                ),
+                F.lit(0.0),
+            ).alias("revenue_none"),
+        )
+    )
+    return attributed.crossJoin(F.broadcast(unattributed))
+
+
+# =========================================================================
+# Month-over-month growth (bounded month-grain frame)
+# =========================================================================
+
+
+@query(
+    "orders_growth_mom",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4)
+                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) + 1e-9, 6) AS mom_growth
+    FROM m
+    """,
+)
+def q_orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly exact-decimal revenue
+    and the growth ratio vs the previous month (NULL for the first
+    month) — the growth-accounting readout.
+
+    Scale posture: the window runs over the MONTH-GRAIN frame — one
+    row per month regardless of scale factor (a 100 TB corpus still
+    has ~100 months), produced by one map-side-combined aggregate; the
+    lag() over that bounded frame is trivially single-task by design,
+    not a scale cliff. Revenue is quantized (2 dp) before the growth
+    division so both engines divide identical doubles."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            ).cast("double")
+            + F.lit(1e-9),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev + F.lit(1e-9), 6).alias(
+            "mom_growth"
+        ),
+    )

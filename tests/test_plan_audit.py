@@ -31,6 +31,8 @@ ALLOWED_NESTED_LOOP = {
     "rfm_segments",
     "abtest_ks_distance",
     "text_unigram_fluency",
+    # two 1-row aggregate frames cross-joined — O(1)
+    "events_attribution_linear",
 }
 
 

@@ -241,3 +241,27 @@ def test_containment_matches_bruteforce_sets(spark):
                 expected.add((a, b))
     got = set(zip(pdf.id_contained, pdf.id_container))
     assert got == expected
+
+
+def test_linear_attribution_conserves_revenue(spark):
+    pdf = _run(spark, "events_attribution_linear")
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    purchases = ev[ev.event_type == "purchase"]
+    n_p = len(purchases)
+    assert r.n_purchases_attributed + r.n_purchases_none == n_p
+    total_cents = np.floor(purchases.value * 100 + 0.5).sum()
+    got = r.revenue_click + r.revenue_view + r.revenue_none
+    # equal-split shares are quantized at 4dp per purchase; drift is bounded
+    assert abs(got - total_cents / 100.0) < 0.01 * n_p
+    assert r.revenue_click >= 0 and r.revenue_view >= 0
+
+
+def test_mom_growth_frame_and_ratios(spark):
+    pdf = _run(spark, "orders_growth_mom").sort_values("month").reset_index(drop=True)
+    assert pdf.month.is_unique
+    assert np.isnan(pdf.mom_growth[0])
+    expect = (pdf.revenue - pdf.revenue.shift()) / pdf.revenue.shift()
+    ok = np.isclose(pdf.mom_growth[1:], np.round(expect[1:] + 1e-9, 6))
+    assert ok.all()
