@@ -969,3 +969,177 @@ def q_orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+# =========================================================================
+# Streaming top-k trending (availableNow replay + post-replay rank)
+# =========================================================================
+
+_TREND_TOP_K = 3
+
+
+@query(
+    "streaming_topk_trending",
+    f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '2 hours', ts) AS bucket_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket_start
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM b
+    )
+    SELECT bucket_start, event_type, n, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {_TREND_TOP_K}
+    """,
+)
+def q_streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard as a stream: the top-3 event types per 2-hour
+    window, with the windowed counts maintained by Structured Streaming
+    (availableNow replay of the whole events table, complete mode) and
+    the rank applied to the replayed state — the standard split between
+    what streaming state maintains (mergeable counts) and what the
+    serving query computes (order-dependent rank). Hash-matches the
+    batch DuckDB oracle, so the result is independent of how the stream
+    was micro-batched.
+
+    Scale posture: streaming state is |windows| x |event types| rows —
+    bounded, merge-only; the production variant is append mode +
+    watermark with rank in the sink query. The post-replay rank
+    partitions by window over the tiny state table, pruned by
+    WindowGroupLimit to k rows per window."""
+    from gibbon_spark.queries import _STREAM_SINK_SEQ, _events_stream, _replay_width
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = _events_stream(spark, sf_dir)
+    counts = s.groupBy(
+        F.window(F.col("ts").cast("timestamp"), "2 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"_gs_stream_trend_{next(_STREAM_SINK_SEQ)}"
+    with _replay_width(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    state = spark.table(name).select(
+        F.col("w.start").alias("bucket_start"), "event_type", "n"
+    )
+    w = Window.partitionBy("bucket_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        state.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TREND_TOP_K)
+        .select("bucket_start", "event_type", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# =========================================================================
+# Seasonally-adjusted revenue anomaly (residual vs seasonal expectation)
+# =========================================================================
+
+_SEAS_ANOM_TOL = 0.25
+
+
+@query(
+    "orders_seasonal_anomaly",
+    f"""
+    WITH ym AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
+             CAST(extract(month FROM o_orderdate) AS INT) AS month,
+             round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4)
+                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    mm AS (
+      SELECT month,
+             round(CAST(sum(CAST(round(revenue + 1e-9, 4) AS DECIMAL(24,4)))
+                        AS DOUBLE) / count(*) + 1e-9, 4) AS month_mean
+      FROM ym GROUP BY month
+    ),
+    g AS (
+      SELECT round(CAST(sum(CAST(round(month_mean + 1e-9, 4)
+                                 AS DECIMAL(24,4))) AS DOUBLE) / count(*)
+                   + 1e-9, 4) AS global_mean
+      FROM mm
+    )
+    SELECT ym.year, ym.month, ym.revenue,
+           round(mm.month_mean / g.global_mean + 1e-9, 6) AS seasonal_index,
+           mm.month_mean AS expected_revenue,
+           round(ym.revenue / mm.month_mean + 1e-9, 6) AS residual_ratio,
+           (abs(round(ym.revenue / mm.month_mean + 1e-9, 6) - 1.0)
+            > {_SEAS_ANOM_TOL}) AS is_anomaly
+    FROM ym JOIN mm USING (month), g
+    """,
+)
+def q_orders_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection on monthly revenue: each
+    (year, month)'s revenue is compared to the mean revenue of that
+    CALENDAR month across years (the multiplicative-decomposition
+    baseline — January is judged against Januaries); months whose
+    residual ratio strays more than 25% from 1.0 flag as anomalies.
+    Composes the orders_seasonal_index technique with the residual
+    screen — the 'is this month actually unusual, or just seasonal?'
+    readout.
+
+    Parity discipline: every derived mean is quantized (4 dp + 1e-9)
+    before reuse in ratios, and the anomaly threshold compares the
+    ROUNDED ratio, so the boolean flips identically in both engines.
+
+    Scale posture: one map-side-combined aggregate to the month-grain
+    frame (~100 rows at any SF), a 12-row equi-keyed broadcast join for
+    baselines, and a 1-row global-mean broadcast for the index column
+    (allow-listed O(1) scalar fan-out)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    ym = orders.groupBy(
+        F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+    ).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            ).cast("double")
+            + F.lit(1e-9),
+            2,
+        ).alias("revenue")
+    )
+    mm = ym.groupBy("month").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("revenue") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("month_mean")
+    )
+    g = mm.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("month_mean") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("global_mean")
+    )
+    ratio = F.round(F.col("revenue") / F.col("month_mean") + F.lit(1e-9), 6)
+    return (
+        ym.join(F.broadcast(mm), "month")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "year",
+            "month",
+            "revenue",
+            F.round(
+                F.col("month_mean") / F.col("global_mean") + F.lit(1e-9), 6
+            ).alias("seasonal_index"),
+            F.col("month_mean").alias("expected_revenue"),
+            ratio.alias("residual_ratio"),
+            (F.abs(ratio - F.lit(1.0)) > _SEAS_ANOM_TOL).alias("is_anomaly"),
+        )
+    )

@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "text_unigram_fluency",
     # two 1-row aggregate frames cross-joined — O(1)
     "events_attribution_linear",
+    "orders_seasonal_anomaly",
 }
 
 

@@ -265,3 +265,27 @@ def test_mom_growth_frame_and_ratios(spark):
     expect = (pdf.revenue - pdf.revenue.shift()) / pdf.revenue.shift()
     ok = np.isclose(pdf.mom_growth[1:], np.round(expect[1:] + 1e-9, 6))
     assert ok.all()
+
+
+def test_streaming_trend_topk_per_window(spark):
+    pdf = _run(spark, "streaming_topk_trending")
+    assert len(pdf) > 0
+    per_w = pdf.groupby("bucket_start")
+    assert (per_w.rnk.max() <= 3).all()
+    # within each window ranks are 1..k with counts non-increasing
+    for _, grp in per_w:
+        g = grp.sort_values("rnk")
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        assert (g.n.diff().dropna() <= 0).all()
+
+
+def test_seasonal_anomaly_baseline_consistency(spark):
+    pdf = _run(spark, "orders_seasonal_anomaly")
+    assert pdf.groupby(["year", "month"]).size().max() == 1
+    # same calendar month shares one baseline
+    assert (pdf.groupby("month").expected_revenue.nunique() == 1).all()
+    flagged = pdf[pdf.is_anomaly]
+    ok = (flagged.residual_ratio - 1.0).abs() > 0.25
+    assert ok.all()
+    unflagged = pdf[~pdf.is_anomaly]
+    assert ((unflagged.residual_ratio - 1.0).abs() <= 0.25 + 1e-9).all()
