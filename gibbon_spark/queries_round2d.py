@@ -1143,3 +1143,181 @@ def q_orders_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(ratio - F.lit(1.0)) > _SEAS_ANOM_TOL).alias("is_anomaly"),
         )
     )
+
+
+# =========================================================================
+# RAKE-style keyword extraction (islands segmentation + rational scores)
+# =========================================================================
+
+_RAKE_STOPWORDS = ("a", "the")
+_RAKE_TOP_K = 20
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok WHERE tok NOT IN {_RAKE_STOPWORDS!r}
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM ns GROUP BY doc_id, grp
+    ),
+    pw AS (
+      SELECT tok, plen FROM ns JOIN phrases USING (doc_id, grp)
+    ),
+    ws AS (
+      SELECT tok, round(CAST(sum(plen) AS DOUBLE) / count(*) + 1e-9, 6)
+               AS word_score
+      FROM pw GROUP BY tok
+    ),
+    dp AS (SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY phrase),
+    dpw AS (
+      SELECT phrase, unnest(regexp_split_to_array(phrase, ' ')) AS tok FROM dp
+    ),
+    scored AS (
+      SELECT dpw.phrase,
+             round(CAST(sum(CAST(round(ws.word_score + 1e-9, 4)
+                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 4)
+               AS rake_score
+      FROM dpw JOIN ws USING (tok)
+      GROUP BY dpw.phrase
+    )
+    SELECT s.phrase, s.rake_score, dp.n_occurrences
+    FROM scored s JOIN dp USING (phrase)
+    ORDER BY s.rake_score DESC, s.phrase
+    LIMIT {_RAKE_TOP_K}
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction: candidate phrases are maximal
+    stopword-free token runs (segmented with the pos − row_number
+    islands trick — consecutive surviving positions share a group, no
+    gap-flag pass needed); each word scores degree/frequency (degree =
+    summed length of the phrases it appears in), and a phrase scores
+    the sum of its words' scores. Top-20 phrases corpus-wide.
+
+    Parity discipline: word scores are rational (integer degree /
+    integer frequency), quantized at 4 dp before the order-free decimal
+    sum per phrase — no libm, no float accumulation order.
+
+    Scale posture: tokenization is a narrow posexplode; segmentation is
+    ONE doc-keyed window; word stats and phrase scores are
+    vocabulary-sized keyed aggregates (the phrase→word explode runs
+    over DISTINCT phrases, not occurrences); the global top-20 is
+    TakeOrdered. No all-pairs anything."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    ns = tok.where(~F.col("tok").isin(*_RAKE_STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrases = ns.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok))"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pw = ns.join(phrases, ["doc_id", "grp"]).select("tok", "plen")
+    ws = pw.groupBy("tok").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("word_score")
+    )
+    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
+    scored = (
+        dpw.join(ws, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("word_score") + F.lit(1e-9), 4).cast(
+                        "decimal(24,4)"
+                    )
+                ).cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("rake_score")
+        )
+    )
+    return (
+        scored.join(dp, "phrase")
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP_K)
+        .select("phrase", "rake_score", "n_occurrences")
+    )
+
+
+# =========================================================================
+# Order-to-ship delay distribution (logistics latency histogram)
+# =========================================================================
+
+
+@query(
+    "shipping_delay_histogram",
+    """
+    WITH lagd AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE
+             WHEN lag_days < 0 THEN 'before_order'
+             WHEN lag_days <= 7 THEN 'week1'
+             WHEN lag_days <= 30 THEN 'month1'
+             WHEN lag_days <= 90 THEN 'quarter'
+             ELSE 'over_quarter' END AS delay_bucket,
+           count(*) AS n_lineitems,
+           CAST(min(lag_days) AS BIGINT) AS min_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days,
+           round(CAST(sum(lag_days) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_days
+    FROM lagd
+    GROUP BY 1
+    """,
+)
+def q_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: per delay bucket (including
+    the data-quality bucket for line items shipped BEFORE their order
+    date — present in this corpus, which is exactly what the bucket is
+    for), the count and min/avg/max lag in days.
+
+    Scale posture: one key-partitioned fact-to-fact join on the order
+    key (sort-merge at scale; both sides shuffle once) followed by a
+    map-side-combined 5-group rollup. Integer day arithmetic
+    throughout; the average divides an exact integer sum."""
+    li, orders = _prep(spark, sf_dir, "lineitem", "orders")
+    lagd = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days")
+    )
+    bucket = (
+        F.when(F.col("lag_days") < 0, "before_order")
+        .when(F.col("lag_days") <= 7, "week1")
+        .when(F.col("lag_days") <= 30, "month1")
+        .when(F.col("lag_days") <= 90, "quarter")
+        .otherwise("over_quarter")
+    )
+    return lagd.groupBy(bucket.alias("delay_bucket")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.min("lag_days").cast("bigint").alias("min_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+        F.round(
+            F.sum("lag_days").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("avg_days"),
+    )

@@ -289,3 +289,24 @@ def test_seasonal_anomaly_baseline_consistency(spark):
     assert ok.all()
     unflagged = pdf[~pdf.is_anomaly]
     assert ((unflagged.residual_ratio - 1.0).abs() <= 0.25 + 1e-9).all()
+
+
+def test_rake_phrases_stopword_free_and_ranked(spark):
+    pdf = _run(spark, "text_rake_keywords")
+    assert 0 < len(pdf) <= 20
+    for p in pdf.phrase:
+        assert "a" not in p.split() and "the" not in p.split()
+    assert (pdf.rake_score.values == pdf.sort_values(
+        "rake_score", ascending=False).rake_score.values).all()
+    assert (pdf.n_occurrences >= 1).all()
+
+
+def test_shipping_delay_covers_all_lineitems(spark):
+    pdf = _run(spark, "shipping_delay_histogram").set_index("delay_bucket")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    assert pdf.n_lineitems.sum() == li
+    if "before_order" in pdf.index:
+        assert pdf.loc["before_order"].max_days < 0
+    for b in pdf.index:
+        row = pdf.loc[b]
+        assert row.min_days <= row.avg_days <= row.max_days
