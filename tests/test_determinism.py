@@ -27,6 +27,14 @@ QUERIES = [
     "mv_incremental_refresh",
     "embedding_centroids",
     "ts_anomaly_zscore",
+    # round-2 batches E-K: two-level KS cumsum, quantized-share splits,
+    # quantized quintile cuts, decimal checksum sums, rational RAKE sums
+    "abtest_ks_distance",
+    "events_attribution_linear",
+    "rfm_segments",
+    "table_diff_checksum",
+    "text_rake_keywords",
+    "agg_mad_outliers",
 ]
 
 
