@@ -1321,3 +1321,156 @@ def q_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lag_days").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
         ).alias("avg_days"),
     )
+
+
+# =========================================================================
+# Session health: bounce rate and depth distribution
+# =========================================================================
+
+
+@query(
+    "sessions_bounce_rate",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > {_PATH_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sno
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sno, count(*) AS n_events
+      FROM sess GROUP BY user_id, sno
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS bounce_rate,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS avg_session_depth,
+           CAST(max(n_events) AS BIGINT) AS max_session_depth
+    FROM per_sess
+    """,
+)
+def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-health scorecard: sessionize events (30-min gap, same
+    islands pass as event_path_trigrams), then the bounce rate
+    (single-event sessions), average/max session depth, and user count
+    — the engagement metrics a product dashboard leads with.
+
+    Scale posture: one user-keyed window pass to label sessions, one
+    keyed aggregate to session grain, one map-side-combined global
+    rollup. Ratios divide exact integer sums."""
+    (events,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(prev_ts.cast("timestamp"))
+            > _PATH_GAP_S
+        )
+    ).cast("long")
+    sess = events.withColumn(
+        "sno",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sno").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(bounce).cast("bigint").alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("avg_session_depth"),
+        F.max("n_events").cast("bigint").alias("max_session_depth"),
+    )
+
+
+# =========================================================================
+# Cross-sectional OLS: quantity-vs-price slope per brand (exact moments)
+# =========================================================================
+
+
+@query(
+    "brand_price_qty_slope",
+    """
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT p_brand, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lineitems,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1e8 + 1e-9, 6) AS slope_qty_per_million_cents,
+           round(CAST(sy AS DOUBLE) / n + 1e-9, 6) AS mean_qty
+    FROM m
+    """,
+)
+def q_brand_price_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price sensitivity: the OLS slope of line-item
+    quantity on price per brand (scaled to quantity change per million
+    cents), from one pass of exact integer moments — the demand-curve
+    first look. Same DECIMAL(38,0)-moment discipline as
+    ts_forecast_linear, applied cross-sectionally: per-row products fit
+    BIGINT (cents x quantity ≤ 5e8, cents² ≤ 2.5e15), sums are exact
+    decimals, and the slope is one deterministic double expression.
+
+    Scale posture: one fact-to-dim keyed join (part side broadcasts at
+    test SF, sort-merge beyond), one map-side-combined moment pass to
+    |brands| rows — no second scan, no window."""
+    li, part = _prep(spark, sf_dir, "lineitem", "part")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    m = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return m.select(
+        "p_brand",
+        n.cast("bigint").alias("n_lineitems"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(1e8) + F.lit(1e-9), 6
+        ).alias("slope_qty_per_million_cents"),
+        F.round(sy / n + F.lit(1e-9), 6).alias("mean_qty"),
+    )

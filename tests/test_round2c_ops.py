@@ -310,3 +310,31 @@ def test_shipping_delay_covers_all_lineitems(spark):
     for b in pdf.index:
         row = pdf.loc[b]
         assert row.min_days <= row.avg_days <= row.max_days
+
+
+def test_bounce_rate_consistent_with_sessions(spark):
+    pdf = _run(spark, "sessions_bounce_rate")
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    assert r.n_users == ev.user_id.nunique()
+    assert 0 <= r.bounce_rate <= 1
+    assert r.n_bounces <= r.n_sessions
+    assert r.avg_session_depth >= 1
+    import pytest as _p
+
+    assert r.n_sessions * r.avg_session_depth == _p.approx(len(ev), rel=1e-6)
+
+
+def test_brand_slope_matches_numpy_ols(spark):
+    pdf = _run(spark, "brand_price_qty_slope").set_index("p_brand")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet").toPandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["x"] = np.floor(j.l_extendedprice * 100 + 0.5).astype("int64")
+    j["y"] = j.l_quantity.astype("int64")
+    for brand, grp in j.groupby("p_brand"):
+        slope = np.polyfit(grp.x, grp.y, 1)[0] * 1e8
+        row = pdf.loc[brand]
+        assert abs(row.slope_qty_per_million_cents - slope) < 1e-3
+        assert row.n_lineitems == len(grp)
