@@ -198,9 +198,16 @@ def jaccard_pairs_prefix(
             ),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # Integer-exact threshold: n_inter/(n_a+n_b-n_inter) >= t compared in
+    # integers (t in parts-per-million). The prefix only guarantees pairs
+    # whose UNROUNDED ratio >= t; filtering on round(j, 6) >= t could admit
+    # a pair in [t - 5e-7, t) that the prefix never generated (reachable
+    # only past ~2M distinct shingles/doc, but exactness is free here).
+    t_ppm = int(round(t * 1_000_000))
+    return out.filter(
+        F.col("n_inter") * F.lit(1_000_000)
+        >= F.lit(t_ppm) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ).select("id_a", "id_b", "jaccard")
 
 
 def containment_pairs_prefix(
@@ -246,33 +253,50 @@ def containment_pairs_prefix(
         .filter(F.col("pos") <= F.col("n_sh") - min_shared + 1)
         .select("id", "shingle", "n_sh")
     )
+    # Index side carries its own shingle count so the candidate join can
+    # apply the exact size prune: C(A→B) >= t implies |∩| >= ⌈t·|A|⌉ and
+    # |∩| <= |B|, so any container with |B| < ⌈t·|A|⌉ cannot qualify —
+    # prune it BEFORE the exact-intersection verify join (correctness was
+    # never affected, only verify-stage cost).
+    idx = sh.withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
     cand = (
         probe.alias("a")
         .join(
-            sh.alias("b"),
+            idx.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                F.col("b.n_sh")
+                >= F.ceil(F.lit(t) * F.col("a.n_sh") - F.lit(1e-9))
+            ),
         )
         .select(
             F.col("a.id").alias("id_contained"),
             F.col("b.id").alias("id_container"),
             F.col("a.n_sh").alias("n_contained"),
+            F.col("b.n_sh").alias("n_container"),
         )
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_container"))
     sh_a = sh.select(F.col("id").alias("id_contained"), F.col("shingle").alias("_sh"))
     sh_b = sh.select(F.col("id").alias("id_container"), F.col("shingle").alias("_sh"))
+    # Integer-exact threshold (same reasoning as jaccard_pairs_prefix):
+    # the prefix guarantees candidates with UNROUNDED C >= t, so the final
+    # filter must not use round(C, 6) — a ratio in [t - 5e-7, t) that
+    # rounds up would pass a rounded filter without ever being generated.
+    t_ppm = int(round(t * 1_000_000))
     out = (
         cand.join(sh_a, "id_contained")
         .join(sh_b, ["id_container", "_sh"])
-        .groupBy("id_contained", "id_container", "n_contained")
+        .groupBy("id_contained", "id_container", "n_contained", "n_container")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(sizes.withColumnRenamed("id", "id_container"), "id_container")
         .withColumn(
             "containment", F.round(F.col("n_inter") / F.col("n_contained"), 6)
         )
-        .filter(F.col("containment") >= t)
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.lit(t_ppm) * F.col("n_contained")
+        )
         .select(
             "id_contained",
             "id_container",
@@ -321,9 +345,12 @@ def jaccard_pairs(
             ),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # integer-exact threshold, identical to jaccard_pairs_prefix
+    t_ppm = int(round(float(threshold) * 1_000_000))
+    return out.filter(
+        F.col("n_inter") * F.lit(1_000_000)
+        >= F.lit(t_ppm) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

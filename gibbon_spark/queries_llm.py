@@ -251,7 +251,7 @@ _SHINGLE_CTE = """
     FROM pairs p
     JOIN sizes x ON p.id_a = x.doc_id
     JOIN sizes y ON p.id_b = y.doc_id
-    WHERE round(n_inter / (x.n_sh + y.n_sh - n_inter), 6) >= 0.5
+    WHERE n_inter * 1000000 >= 500000 * (x.n_sh + y.n_sh - n_inter)
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +282,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN sizes x ON p.id_contained = x.doc_id
     JOIN sizes y ON p.id_container = y.doc_id
-    WHERE round(n_inter / x.n_sh, 6) >= 0.5
+    WHERE n_inter * 1000000 >= 500000 * x.n_sh
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -352,13 +352,16 @@ _BENFORD_CASE_SQL = (
 @query(
     "benford_digit_audit",
     f"""
-    WITH g AS (
+    WITH in_domain AS (
+      SELECT o_totalprice FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (
       SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                AS digit,
              count(*) AS n_orders
-      FROM orders GROUP BY 1
+      FROM in_domain GROUP BY 1
     ),
-    t AS (SELECT count(*) AS total FROM orders)
+    t AS (SELECT count(*) AS total FROM in_domain)
     SELECT g.digit, g.n_orders,
            round(CAST(g.n_orders AS DOUBLE) / t.total + 1e-9, 6) AS share,
            {_BENFORD_CASE_SQL} AS expected_share,
@@ -385,6 +388,11 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-row float accumulation order exists at all.
     """
     (orders,) = _prep(spark, sf_dir, "orders")
+    # Restrict to the Benford domain explicitly (leading digit 1-9): values
+    # < 1 would yield digit '0' and negatives '-', both outside _BENFORD,
+    # silently emitting NULL expected_share/chi_term rows on a changed
+    # price domain. Same predicate in the oracle's in_domain CTE.
+    orders = orders.filter(F.col("o_totalprice") >= 1)
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     )
