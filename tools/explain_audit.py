@@ -8,6 +8,10 @@ Checks per plan:
 - BatchEvalPython → row-at-a-time Python UDF in the hot path (always a
   bug; Arrow variants ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
   are the sanctioned slow path),
+- Window with an EMPTY partition spec → the whole frame funnels through
+  one task (the classic ordered-analytics scale cliff). Bounded-frame
+  sites (P-row offset tables, month-grain frames, top-k ranks) are
+  intentional and listed in ALLOWED_GLOBAL_WINDOW with justification,
 - counts Exchange (shuffle) operators — the scale currency,
 - parquet scans with an empty ReadSchema prune or no PushedFilters when
   a filter exists are reported for eyeballing.
@@ -87,6 +91,64 @@ ALLOWED_NESTED_LOOP = {
     "orders_seasonal_anomaly",
 }
 
+def load_global_window_allowlist() -> dict[str, str]:
+    """Intentional partition-less Window sites (bounded-frame argument
+    per query). Single source of truth lives in tests/test_plan_audit.py."""
+    from tests.test_plan_audit import ALLOWED_GLOBAL_WINDOW as allowed
+
+    return allowed
+
+
+def _toplevel_groups(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into top-level bracket groups."""
+    groups: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth > 0:
+            cur += ch
+    return groups
+
+
+_WINDOW_LINE = re.compile(r"(?:^|[\s:+*-])Window\s+(\[.*)$")
+
+
+def count_partitionless_windows(plan: str) -> int:
+    """Window plan lines with an empty partition spec.
+
+    A ``Window`` operator prints ``Window [exprs], [partition], [order]``;
+    an absent PARTITION BY (or absent ORDER BY) drops its group, so two
+    groups are ambiguous: ``Window [exprs], [g#1]`` is a PARTITIONED
+    unordered window (fine), while ``Window [exprs], [id#0 ASC NULLS
+    FIRST]`` is a partition-less ordered one (the scale cliff — flag).
+    Disambiguate by the sort-direction keywords only a sort spec carries.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if m:
+            groups = _toplevel_groups(m.group(1))
+            if len(groups) == 3:
+                continue  # partition spec present
+            if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+                continue  # second group is a partition spec (unordered window)
+            n += 1
+        # WindowGroupLimit prints its partition spec first: empty → `[],`
+        if re.search(r"WindowGroupLimit \[\],", line):
+            n += 1
+    return n
+
+
 SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -97,6 +159,7 @@ def main() -> int:
     spark = get_spark("explain_audit")
     qs = entrymod.queries()
     only = set(sys.argv[1:])
+    allowed_gw = load_global_window_allowlist()
     problems = []
     print("# PLANS — physical-plan audit of every registered query")
     print()
@@ -121,6 +184,8 @@ def main() -> int:
             flags.append("NESTED_LOOP")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
+        if count_partitionless_windows(plan) and name not in allowed_gw:
+            flags.append("GLOBAL_WINDOW")
         marker = " ".join(flags) if flags else "ok"
         print(f"| {name} | {shuffles} | {marker} |")
         if flags:
