@@ -1,0 +1,117 @@
+"""Round-3 query registrations: skew stress, gorilla storage lifecycle.
+
+Reference parity: gibbon has no joins or skew handling at all (the whole
+reference is a single-series codec, ``src/lib.rs:1-19``); these queries
+are part of the 100 TB engine surface the brief demands on top of the
+reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gibbon_spark.operators import skew as skew_ops
+from gibbon_spark.queries import _prep, query
+
+# =========================================================================
+# Zipf(1.5) skew-stress join — salted plan vs plain-join oracle
+# =========================================================================
+
+# Deterministic heavy-tail key synthesis, bit-identical on both engines:
+#   h  = first 8 md5 hex digits of 'zipf:<row id>'  (32-bit int)
+#   u  = (h+1) / 2^32                                in (0, 1], exact:
+#        the divisor is a power of two, so the division never rounds
+#   k  = min(floor(1 / u^2), 10000)
+# P(k >= x) = P(u <= x^-1/2) ~ x^-0.5, so the key FREQUENCY follows a
+# Zipf tail with exponent 1.5: key 1 alone catches ~29% of all rows
+# (P(u > 1/sqrt(2))), key 2 ~12%, ... — a genuinely pathological hot key,
+# far beyond TPC-H's mild skew. Only +,*,/ and floor are used (IEEE
+# round-to-nearest, identical in Spark and DuckDB — no libm pow()).
+_ZIPF_CAP = 10_000
+_TWO_32 = 4_294_967_296.0
+
+_ZIPF_FACT_SQL = f"""
+    WITH fact AS (
+      SELECT l_orderkey * 8 + l_linenumber AS i,
+             (l_orderkey + l_linenumber) % 1000 AS m,
+             least(CAST(floor(1.0 / (
+               (('0x' || substr(md5('zipf:' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / {_TWO_32} *
+               ((('0x' || substr(md5('zipf:' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / {_TWO_32})
+             )) AS BIGINT), {_ZIPF_CAP}) AS zkey
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(k AS BIGINT) AS zkey,
+             CAST(k % 20 AS INT) AS dim_grp,
+             CAST((k * 2654435761) % 97 AS BIGINT) AS dim_weight
+      FROM (SELECT unnest(range(1, {_ZIPF_CAP} + 1)) AS k)
+    )
+"""
+
+
+@query(
+    "skew_zipf_join",
+    _ZIPF_FACT_SQL
+    + """
+    SELECT d.dim_grp,
+           count(*) AS n_rows,
+           CAST(sum(f.m * d.dim_weight) AS BIGINT) AS weighted_sum,
+           CAST(max(f.zkey) AS BIGINT) AS max_key
+    FROM fact f JOIN dim d ON f.zkey = d.zkey
+    GROUP BY d.dim_grp
+    """,
+)
+def q_skew_zipf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf(1.5) hot-key stress join: a synthesized heavy-tail key
+    distribution (hottest key ~29% of ALL rows — far beyond TPC-H's
+    mild skew) joined to a 10k-row dimension through the explicit
+    salted join (operators/skew.py::salted_join), then rolled up per
+    dim group with integer-exact sums.
+
+    Without salting, the hot key funnels ~29% of the fact table through
+    ONE reducer — the canonical cluster-killer at 100 TB. The salted
+    plan shards each fact key over 16 salt buckets and replicates the
+    (tiny) dim side per bucket, bounding any reducer at ~1/16 of the
+    hot key. Result is row-identical to the plain equi-join — the
+    oracle IS the plain join, and the key synthesis (md5-seeded inverse
+    power CDF, power-of-two divisor so / never rounds) is replayed
+    bit-for-bit by DuckDB. tests/test_skew.py asserts the salt explode
+    is actually present in the executed plan — the query fails CI if
+    the salting is ever silently dropped.
+
+    Scale posture: fact rows scale with the lineitem table (so the
+    sf1/sf3 scale gate stresses 6M/18M-row skew); dim stays 10k rows
+    and broadcast-replicates 16x (160k rows — trivial). Two shuffles:
+    the salted join and the 20-group rollup."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    i = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("zipf:"), i.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    u = h.cast("double") / F.lit(_TWO_32)
+    zkey = F.least(
+        F.floor(F.lit(1.0) / (u * u)).cast("bigint"), F.lit(_ZIPF_CAP)
+    )
+    fact = li.select(
+        zkey.alias("zkey"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 1000).alias("m"),
+    )
+    dim = spark.range(1, _ZIPF_CAP + 1).select(
+        F.col("id").alias("zkey"),
+        (F.col("id") % 20).cast("int").alias("dim_grp"),
+        ((F.col("id") * 2654435761) % 97).cast("bigint").alias("dim_weight"),
+    )
+    joined = skew_ops.salted_join(fact, dim, "zkey")
+    return joined.groupBy("dim_grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("m") * F.col("dim_weight")).cast("bigint").alias("weighted_sum"),
+        F.max("zkey").cast("bigint").alias("max_key"),
+    )

@@ -87,3 +87,27 @@ def test_salted_join_matches_plain_join(spark):
         got_l.filter(F.col("name").isNull()).count()
         == want_l.filter(F.col("name").isNull()).count()
     )
+
+
+@pytest.mark.parametrize("name", ["skew_salted_join", "skew_zipf_join"])
+def test_salt_actually_applied_in_registered_plans(spark, name):
+    """The registered skew queries must KEEP their salting: the executed
+    plan has to show the dim-side salt explode and a join keyed on
+    (key, _salt). If a refactor silently drops the salt, the query would
+    still return correct rows (the oracle can't catch it) — this test
+    is the gate."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    plan = (
+        entrymod.queries()[name](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate explode(" in plan, f"{name}: dim-side salt explode gone"
+    assert re.search(r"Join \[[^\]]*_salt#\d+\]", plan), (
+        f"{name}: join no longer keyed on (key, _salt)"
+    )
