@@ -141,6 +141,46 @@ def read_bucketed(
     return df
 
 
+def write_gorilla_store(blocks: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Persist gorilla-encoded blocks (codec/spark_ops.encode_timeseries
+    output: one BinaryType payload per (series, 2h header bucket)) as a
+    partitioned on-disk table — the reference's full storage lifecycle
+    (``examples/csv_to_packed.rs:15-113`` ingests, packs and stores
+    bit-streams keyed by a 2h-aligned header time) as a durable table.
+
+    Partition column ``bucket`` IS the Gorilla header time (epoch
+    seconds, already 2h-aligned by the encoder), so a time-range read
+    prunes whole bucket directories exactly like the reference skips
+    whole blocks. The payload stays gorilla-bit-packed; parquet is only
+    the container for (key, n_samples, n_bits, payload) rows."""
+    (
+        blocks.withColumn("bucket", F.col("header_time"))
+        .repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_gorilla_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    start_epoch: int | None = None,
+    end_epoch: int | None = None,
+) -> DataFrame:
+    """Scan a gorilla block store with block-level time pruning on the
+    partition column (a filter on ``bucket`` never lists pruned
+    directories — strictly the reference's block skipping). Returns the
+    block frame ready for codec/spark_ops.decode_timeseries."""
+    df = spark.read.parquet(path)
+    if start_epoch is not None:
+        df = df.filter(F.col("bucket") >= int(start_epoch) - 7200)
+    if end_epoch is not None:
+        df = df.filter(F.col("bucket") < int(end_epoch))
+    return df.select("series_id", "header_time", "n_samples", "n_bits", "payload")
+
+
 def storage_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
