@@ -18,6 +18,18 @@ here::
 
 Everything returns plain DataFrames, so the full relational / window /
 dedup / similarity surface composes on top.
+
+Beyond the reference workflow, this module is the ONE import a
+production user needs: every operator family ships as a module-level
+re-export (see docs/API.md for the capability -> function -> registry
+example map)::
+
+    from gibbon_spark import engine as gs
+
+    groups = gs.exact_dedup_groups(docs)
+    pairs  = gs.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    hits   = gs.brute_force_topk(corpus, queries, k=10)
+    joined = gs.salted_join(fact, dim, "key")
 """
 
 from __future__ import annotations
@@ -26,6 +38,40 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+# -- production operator surface (re-exported; the facade IS the API) ----
+from gibbon_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    containment_pairs_prefix,
+    drop_exact_duplicates,
+    exact_dedup_groups,
+    jaccard_pairs_prefix,
+    lsh_candidate_pairs_cross,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from gibbon_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: F401
+from gibbon_spark.operators.merge import merge_upsert, scd2_apply  # noqa: F401
+from gibbon_spark.operators.ranking import global_running_sum  # noqa: F401
+from gibbon_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
+from gibbon_spark.operators.skew import (  # noqa: F401
+    salted_distinct_count,
+    salted_join,
+    salted_summary,
+)
+from gibbon_spark.operators.timeseries import (  # noqa: F401
+    asof_join,
+    gap_fill,
+    interpolate_linear,
+    range_join,
+    resample,
+    topk,
+)
 from gibbon_spark.operators import timeseries as _ts
 from gibbon_spark.session import get_spark
 from gibbon_spark.sources import bucketed as _bucketed
@@ -73,6 +119,14 @@ class GibbonSpark:
 
     def storage_stats(self, path: str) -> dict:
         return _bucketed.compression_stats(self.spark, path)
+
+    def write_gorilla_store(self, blocks: DataFrame, path: str, **kw) -> None:
+        """Persist encode_blocks() output as a bucket-partitioned table."""
+        _bucketed.write_gorilla_store(blocks, path, **kw)
+
+    def read_gorilla_store(self, path: str, **kw) -> DataFrame:
+        """Scan a gorilla block store (block-pruned); decode_blocks() it."""
+        return _bucketed.read_gorilla_store(self.spark, path, **kw)
 
     # -- the reference's query surface -----------------------------------
 

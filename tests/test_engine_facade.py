@@ -79,3 +79,47 @@ def test_delta_analytics(eng, csv_path):
     out = eng.with_delta_of_delta(ts, ["series_id"]).orderBy("ts").collect()
     assert [r.delta for r in out] == [None, 60, 60, 60, 60, 60]
     assert [r.dod for r in out][2:] == [0, 0, 0, 0]
+
+
+def test_facade_is_the_one_import_surface(spark):
+    """docs/API.md contract: a production user imports ONLY
+    gibbon_spark.engine and gets every operator family. Exercises one
+    call per family on tiny frames."""
+    from pyspark.sql import functions as F
+
+    from gibbon_spark import engine as gs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    assert gs.exact_dedup_groups(docs).count() == 2
+    assert gs.jaccard_pairs_prefix(docs, n=2, threshold=0.8).count() == 1
+    assert gs.minhash_lsh_pairs(docs, num_hashes=4, bands=2).count() >= 1
+
+    fact = spark.range(100).select((F.col("id") % 5).alias("k"), "id")
+    dim = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    assert gs.salted_join(fact, dim, "k", salt_buckets=4).count() == 100
+
+    run = gs.global_running_sum(
+        spark.range(10).select("id", F.lit(1).alias("one")),
+        [F.col("id")],
+        F.col("one"),
+    )
+    assert run.agg(F.max("running_sum")).first()[0] == 10
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    qset = vecs.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = gs.brute_force_topk(vecs, qset, k=3)
+    assert hits.count() == 3
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    merged = gs.merge_upsert(base, upd, ["k"])
+    assert {r.v for r in merged.collect()} == {"a", "B", "c"}
