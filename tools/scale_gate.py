@@ -72,8 +72,39 @@ def run_once(fn, spark, sf_dir: str) -> float:
     return round(time.time() - t0, 4)
 
 
+def _oracle_summary() -> str:
+    oracle_path = os.path.join(REPO, "SCALE_ORACLE_SF1.txt")
+    if not os.path.exists(oracle_path):
+        return ""
+    with open(oracle_path) as f:
+        lines = [
+            l.strip()
+            for l in f
+            if re.match(r"(PASS|FAIL|ROWS-ONLY|\d+ pass)", l.strip())
+        ]
+    return "\n".join(lines)
+
+
+def report_only() -> int:
+    """Rewrite SCALE.md from SCALE_TIMINGS.json (+ the captured sf1
+    oracle output, if present) without re-timing anything."""
+    with open(os.path.join(REPO, "SCALE_TIMINGS.json")) as f:
+        d = json.load(f)
+    t01, t1, t3 = d["sf0.1"], d["sf1"], d.get("sf3", {})
+    super_linear = d.get("super_linear", [])
+    super_linear_3 = sorted(
+        n
+        for n in t3
+        if t3[n] > ABS_FLOOR_S and t3[n] > SLACK * GROWTH_1_TO_3 * t1[n]
+    )
+    write_report(t01, t1, t3, super_linear, super_linear_3, _oracle_summary())
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    if "--report-only" in args:
+        return report_only()
     sf3_top = 0
     if "--sf3-top" in args:
         i = args.index("--sf3-top")
@@ -149,18 +180,7 @@ def main() -> int:
             sort_keys=True,
         )
 
-    oracle_summary = ""
-    oracle_path = os.path.join(REPO, "SCALE_ORACLE_SF1.txt")
-    if os.path.exists(oracle_path):
-        with open(oracle_path) as f:
-            lines = [
-                l.strip()
-                for l in f
-                if re.match(r"(PASS|FAIL|ROWS-ONLY|\d+ pass)", l.strip())
-            ]
-        oracle_summary = "\n".join(lines)
-
-    write_report(t01, t1, t3, super_linear, super_linear_3, oracle_summary)
+    write_report(t01, t1, t3, super_linear, super_linear_3, _oracle_summary())
     print(
         f"\n{len(super_linear)} super-linear of {len(qs)} "
         f"(sf1 threshold {SLACK}x{GROWTH_01_TO_1:g}x); "
