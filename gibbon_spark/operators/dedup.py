@@ -4,7 +4,7 @@
 - n-gram Jaccard: exact set similarity via shingle inverted-index join;
 - MinHash + LSH: the 100 TB path — constant-size signatures, banded
   bucket join, no all-pairs comparison;
-- SimHash: 16-bit simhash with banded hamming join.
+- SimHash: 60-bit simhash with banded hamming join (4×15-bit chunks).
 
 Hash-function choice: md5 (via ``F.md5``) keyed by a seed prefix. md5 is
 available with identical semantics in Spark and DuckDB, which makes every
@@ -536,12 +536,23 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (32-bit over 3-gram shingles, md5-nibble construction shared
+# SimHash (60-bit over 3-gram shingles, md5-nibble construction shared
 # with the SQL oracle)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 4 chunks × 8 bits
+# 60 bits / 4 chunks of 15 bits — the near-dup config of Manku et al.
+# (WWW'07: 64-bit simhash, hamming <= 3), trimmed to 60 bits so the
+# combined value and every chunk shift stay inside SIGNED 64-bit range on
+# both engines (DuckDB's BIGINT xor/bit_count take signed args).
+# Chunk width is the scale lever: a RANDOM (non-dup) pair collides in a
+# chunk with prob 2^-width, and the banded join materializes every
+# colliding pair, so candidates ~ CHUNKS * n^2 / 2^width. The first cut
+# used 32 bits / 8-bit chunks — fine at 5k docs, but 4*n^2/512 made the
+# sf1 scale gate flag it at 50k docs (measured 31x on 10x data);
+# 15-bit chunks put the same corpus at ~76k candidates. The pigeonhole
+# guarantee (hamming <= CHUNKS-1 leaves >= 1 intact chunk) is unchanged.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 chunks × 15 bits
 
 
 def _hexval_sql(char_expr: str) -> str:
@@ -575,8 +586,8 @@ def simhash_bit_terms(
     (``{prefix}0`` … — see :func:`simhash_nibble_cols`). Identical
     strings run in Spark and in the DuckDB oracle.
 
-    32 bits over shingles (not raw tokens): shingle sets separate
-    non-duplicate docs far better than token sets, and 32 bits keeps
+    Hashed over shingles (not raw tokens): shingle sets separate
+    non-duplicate docs far better than token sets. 60 bits keeps
     birthday collisions negligible for millions of docs while the
     combine still fits comfortably in a signed 64-bit int."""
     terms = []
@@ -632,11 +643,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
-    Banded join, not all-pairs: the 32-bit hash splits into 4 chunks of
-    8 bits; hamming ≤ 3 flips bits in at most 3 chunks, so every true
+    Banded join, not all-pairs: the 60-bit hash splits into 4 chunks of
+    15 bits; hamming ≤ 3 flips bits in at most 3 chunks, so every true
     pair shares at least one intact chunk (pigeonhole) — join on
-    (chunk_idx, chunk_val), then verify with bit_count(xor). At scale
-    each row emits 4 band rows; no quadratic blowup."""
+    (chunk_idx, chunk_val), then verify with bit_count(xor). Each row
+    emits 4 band rows, and a random non-dup pair only meets with prob
+    4/2^15 — the constant that keeps the band join sub-quadratic
+    (measured: the 8-bit-chunk variant went 31x on 10x data at sf1)."""
     bits_per_chunk = SIMHASH_BITS // SIMHASH_CHUNKS
     chunk_mask = (1 << bits_per_chunk) - 1
     sh = simhash(docs, id_col=id_col, text_col=text_col, n=n)

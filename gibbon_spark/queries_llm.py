@@ -386,9 +386,9 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
 
 @query("dedup_simhash", _simhash_oracle_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit over 3-gram shingles) near-dup pairs, hamming ≤ 3,
-    banded 4×8-bit join (pigeonhole: ≤3 flipped bits leave ≥1 chunk
-    intact). The oracle SQL is generated from the same bit-term helpers
+    """SimHash(60-bit over 3-gram shingles, the Manku WWW'07 config)
+    near-dup pairs, hamming ≤ 3, banded 4×15-bit join (pigeonhole: ≤3
+    flipped bits leave ≥1 chunk intact). The oracle SQL is generated from the same bit-term helpers
     as the Spark plan."""
     (docs,) = _prep(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)

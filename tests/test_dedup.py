@@ -102,9 +102,24 @@ def test_minhash_lsh_finds_near_dup_pair(spark):
 
 
 def test_simhash_pairs_near_dups_only(spark):
+    """60-bit simhash at its operating point: documents long enough
+    that a one-word edit is a SMALL fraction of the shingle set (the
+    Manku-style near-dup definition). The 13-token DOCS corpus above is
+    below that point — a one-word edit there changes ~25% of shingles,
+    which is 'different documents' to a 60-bit simhash (correctly)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("tok30", "changed")),  # 1 edit in 60 tokens
+            (3, "completely different content about spark engines and parquet files here today"),
+            (4, "yet another document with totally distinct vocabulary and no overlap at all now"),
+        ],
+        "doc_id long, text string",
+    )
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dedup.simhash_pairs(_docs_df(spark), max_hamming=8).collect()
+        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 8
     assert all((3 not in p and 4 not in p) for p in pairs)

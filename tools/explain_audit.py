@@ -166,8 +166,9 @@ def main() -> int:
     print("Generated by `python tools/explain_audit.py` (Spark `local[32]`, sf0.01")
     print('inputs). "shuffles" counts Exchange operators (including broadcast')
     print("exchanges). Flags would mark CartesianProduct, non-allowlisted")
-    print("BroadcastNestedLoopJoin, or row-at-a-time Python UDFs — enforced to stay")
-    print("empty by `tests/test_plan_audit.py`.")
+    print("BroadcastNestedLoopJoin, row-at-a-time Python UDFs, or non-allowlisted")
+    print("partition-less ordered Windows — enforced to stay empty by")
+    print("`tests/test_plan_audit.py`.")
     print()
     print("| query | exchanges | flags |")
     print("|---|---|---|")
