@@ -99,13 +99,26 @@ def q_fuzzy_match_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _GEO_RANGE = 10000  # coordinate space [0, 10000)
-_GEO_CELL = 1000  # 10 x 10 grid
+# Grid resolution is DENSITY-ADAPTIVE: g = floor(sqrt(|supplier|)) cells
+# per axis, i.e. ~1 supplier per cell and ~9 per 3x3 neighborhood at any
+# data size, so candidate pairs stay ~9 x |customer| — LINEAR. (A first
+# cut pinned cell=1000 → a fixed 10x10 grid; per-cell density then grows
+# with the data and the sf1 scale gate measured the candidate join going
+# quadratic. The fixed-grid shape is only correct when the grid tracks
+# density.) sqrt is IEEE-correctly-rounded in both engines, so the
+# derived cell width is bit-identical and parity holds at every sf.
 
 
 @query(
     "geo_grid_nearest",
     f"""
-    WITH c AS (
+    WITH g AS (
+      SELECT greatest(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+               AS cells
+      FROM supplier
+    ),
+    cellw AS (SELECT {_GEO_RANGE} // cells AS w FROM g),
+    c AS (
       SELECT c_custkey,
              ('0x' || substr(md5('gx:' || c_custkey), 1, 8))::BIGINT
                % {_GEO_RANGE} AS cx,
@@ -123,9 +136,10 @@ _GEO_CELL = 1000  # 10 x 10 grid
     ),
     se AS (
       SELECT s_suppkey, sx, sy,
-             sx // {_GEO_CELL} + dx.dx AS cellx,
-             sy // {_GEO_CELL} + dy.dy AS celly
+             sx // cellw.w + dx.dx AS cellx,
+             sy // cellw.w + dy.dy AS celly
       FROM s,
+           cellw,
            (SELECT unnest([-1, 0, 1]) AS dx) dx,
            (SELECT unnest([-1, 0, 1]) AS dy) dy
     ),
@@ -133,8 +147,8 @@ _GEO_CELL = 1000  # 10 x 10 grid
       SELECT c.c_custkey, se.s_suppkey,
              (c.cx - se.sx) * (c.cx - se.sx)
                + (c.cy - se.sy) * (c.cy - se.sy) AS d2
-      FROM c JOIN se
-        ON c.cx // {_GEO_CELL} = se.cellx AND c.cy // {_GEO_CELL} = se.celly
+      FROM c CROSS JOIN cellw JOIN se
+        ON c.cx // cellw.w = se.cellx AND c.cy // cellw.w = se.celly
     ),
     m AS (
       SELECT c_custkey, min(d2) AS min_d2, count(*) AS n_candidates
@@ -153,21 +167,31 @@ def q_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed nearest-neighbor spatial join: every customer and
     supplier gets a deterministic md5-derived integer coordinate on a
     [0, 10000)^2 plane; suppliers are replicated into their 3x3 cell
-    neighborhood (cell = 1000 units); the join is EQUI on the cell key,
+    neighborhood (cell width adapts to supplier density); the join is EQUI on the cell key,
     and the nearest supplier per customer is resolved with exact
     integer squared distances (ties broken by min supplier key).
 
     Scale posture: this is the standard spatial-join shape — a bounded
     constant-factor replication (9x) of the SMALL side buys an
     equi-join in place of an all-pairs distance cross product; the
-    planner sees plain hash joins on (cellx, celly). Nearest-neighbor
-    resolution is two keyed aggregates (min distance, then min key at
-    that distance) — deterministic at any parallelism, no window over
-    an unbounded frame. All-integer distance math → hash-exact parity.
-    Customers with an empty 3x3 neighborhood are not emitted (the
-    production pattern re-queries those at a coarser grid level).
+    planner sees plain hash joins on (cellx, celly). The grid is
+    DENSITY-ADAPTIVE (cells per axis = floor(sqrt(|supplier|)), derived
+    identically in both engines — see the module comment), so expected
+    candidates stay ~9 per customer at any data size; the sf1 scale
+    gate caught the earlier fixed 10x10 grid going quadratic.
+    Nearest-neighbor resolution is two keyed aggregates (min distance,
+    then min key at that distance) — deterministic at any parallelism,
+    no window over an unbounded frame. All-integer distance math →
+    hash-exact parity. Customers with an empty 3x3 neighborhood are not
+    emitted (expected e^-9 ≈ 0.01% of customers; the production pattern
+    re-queries those at a coarser grid level).
     """
+    import math
+
     cust, supp = _prep(spark, sf_dir, "customer", "supplier")
+    # the same scalar both engines derive: one bounded driver-side count
+    n_supp = supp.count()
+    cell = _GEO_RANGE // max(int(math.floor(math.sqrt(float(n_supp)))), 1)
 
     def coord(prefix: str, key: str):
         return (
@@ -199,13 +223,13 @@ def q_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "sx",
             "sy",
-            (F.expr(f"sx DIV {_GEO_CELL}") + F.col("dx")).alias("cellx"),
-            (F.expr(f"sy DIV {_GEO_CELL}") + F.col("dy")).alias("celly"),
+            (F.expr(f"sx DIV {cell}") + F.col("dx")).alias("cellx"),
+            (F.expr(f"sy DIV {cell}") + F.col("dy")).alias("celly"),
         )
     )
     cand = (
-        c.withColumn("cellx", F.expr(f"cx DIV {_GEO_CELL}"))
-        .withColumn("celly", F.expr(f"cy DIV {_GEO_CELL}"))
+        c.withColumn("cellx", F.expr(f"cx DIV {cell}"))
+        .withColumn("celly", F.expr(f"cy DIV {cell}"))
         .join(se, ["cellx", "celly"])
         .select(
             "c_custkey",

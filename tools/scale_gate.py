@@ -172,7 +172,31 @@ def main() -> int:
         if t3[n] > ABS_FLOOR_S and t3[n] > SLACK * GROWTH_1_TO_3 * t1[n]
     )
 
-    with open(os.path.join(REPO, "SCALE_TIMINGS.json"), "w") as f:
+    # subset runs MERGE into the standing timings file (so a post-fix
+    # re-measure of a few queries updates their rows without losing the
+    # full-registry evidence); full runs replace it
+    path = os.path.join(REPO, "SCALE_TIMINGS.json")
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev["sf0.1"].update(t01)
+        prev["sf1"].update(t1)
+        prev.setdefault("sf3", {}).update(t3)
+        t01, t1 = prev["sf0.1"], prev["sf1"]
+        t3 = prev["sf3"]
+        super_linear = sorted(
+            n
+            for n in t1
+            if n in t01
+            and t1[n] > ABS_FLOOR_S
+            and t1[n] > SLACK * GROWTH_01_TO_1 * t01[n]
+        )
+        super_linear_3 = sorted(
+            n
+            for n in t3
+            if t3[n] > ABS_FLOOR_S and t3[n] > SLACK * GROWTH_1_TO_3 * t1[n]
+        )
+    with open(path, "w") as f:
         json.dump(
             {"sf0.1": t01, "sf1": t1, "sf3": t3, "super_linear": super_linear},
             f,
