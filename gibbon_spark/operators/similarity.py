@@ -215,6 +215,43 @@ def embedding_neardup_pairs(
     )
 
 
+NEARDUP_PLANES = 64  # self-join banding: 8 bands x 8 bits
+NEARDUP_BAND_BITS = 8
+
+
+def with_lsh_bands(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    num_planes: int = NEARDUP_PLANES,
+    band_bits: int = NEARDUP_BAND_BITS,
+) -> DataFrame:
+    """Add a ``bands`` array<int> column: element b packs sign bits of
+    planes [b*band_bits, (b+1)*band_bits) — the UNPACKED variant of
+    with_lsh_bucket for wide codes (a packed 64-plane code overflows
+    signed 64-bit, which both engines' shift/& arithmetic needs). Same
+    GEMM-per-Arrow-batch shape; same md5-derived planes as the oracle."""
+    import numpy as np
+
+    n_bands = num_planes // band_bits
+    signs = np.array(plane_signs(num_planes, dims), dtype="float64").T
+    w = 1 << np.arange(band_bits, dtype="int64")
+
+    @F.pandas_udf("array<int>")
+    def bands_udf(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        mat = np.stack(vecs.to_numpy()).astype("float64")
+        bits = (mat @ signs >= 0).reshape(len(mat), n_bands, band_bits)
+        vals = (bits @ w).astype("int32")
+        return pd.Series(list(vals))
+
+    return embeddings.withColumn("bands", bands_udf(F.col(vec_col)))
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     *,
@@ -222,27 +259,32 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dims: int = 64,
-    band_bits: int = 4,
+    num_planes: int = NEARDUP_PLANES,
+    band_bits: int = NEARDUP_BAND_BITS,
 ) -> DataFrame:
     """Near-dup pairs at scale: banded hyperplane-LSH candidates + exact
     cosine rerank. Semantics: a pair is emitted iff it (a) shares at
-    least one ``band_bits``-wide band of the 16-bit hyperplane code AND
-    (b) has exact cosine ≥ threshold after rerank.
+    least one ``band_bits``-wide band of the ``num_planes``-bit
+    hyperplane code AND (b) has exact cosine ≥ threshold after rerank.
 
     This is NOT result-identical to the exact all-pairs join
     (:func:`pairwise_cosine_pairs`): candidate recall for a pair at
     angle θ is ``1 − (1 − p^r)^b`` with ``p = 1 − θ/π``. No banding
-    fixes that at low thresholds — at cos 0.4, p ≈ 0.63, so a 4×4-bit
-    banding recalls ~50% of boundary pairs while 1-bit bands put half
-    the corpus in every bucket (candidates ≥ all-pairs). Sub-quadratic
-    exact threshold-join on dense random vectors is the orthogonal-
-    vectors problem — conjectured impossible in general — which is why
-    production near-dup pipelines run LSH semantics and thresholds
-    ≥ 0.8 (p ≥ 0.85, recall 0.93+ at this banding). The md5-derived
-    planes make the candidate step deterministic and SQL-replayable,
-    so the DuckDB oracle reproduces these semantics EXACTLY — the
-    parity check is still bit-for-bit, it just checks the LSH
-    contract, not the all-pairs one.
+    fixes that at low thresholds — at cos 0.4, p ≈ 0.63, 8×8-bit bands
+    recall ~22% of boundary pairs (true near-dups at cos ≥ 0.9 recall
+    0.94). Sub-quadratic exact threshold-join on dense random vectors
+    is the orthogonal-vectors problem — conjectured impossible in
+    general — which is why production near-dup pipelines run LSH
+    semantics. The md5-derived planes make the candidate step
+    deterministic and SQL-replayable, so the DuckDB oracle reproduces
+    these semantics EXACTLY — the parity check is still bit-for-bit,
+    it just checks the LSH contract, not the all-pairs one.
+
+    Band width is the SCALE lever: a random (cos ≈ 0) pair collides in
+    an 8-bit band with prob 2^-8, so background candidates are
+    ~8·n²/256 of all pairs at worst — the first cut used 4×4-bit bands
+    (16 values per band, ≥ n²/8 candidates on ANY data) and the sf1
+    scale gate measured it at 29× cost on 10× data.
 
     Plan shape: one map (bucket GEMM), one keyed self-join on
     (band, band-value) carrying IDS ONLY (the 64-float payloads would
@@ -255,29 +297,16 @@ def lsh_neardup_pairs(
     agreed to ~1e-15). No block replication, no broadcast of the
     corpus.
     """
-    n_bands = NUM_PLANES // band_bits
-    mask = (1 << band_bits) - 1
-    c = with_lsh_bucket(
+    c = with_lsh_bands(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         vec_col="vec",
         dims=dims,
+        num_planes=num_planes,
+        band_bits=band_bits,
     )
     banded = c.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("bucket"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+        "id", F.posexplode("bands").alias("band", "val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "val"])

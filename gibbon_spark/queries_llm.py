@@ -450,17 +450,37 @@ def _lsh_bucket_expr(dims: int = 64) -> str:
     return " + ".join(projs)
 
 
-def _lsh_neardup_oracle_sql(threshold: float = 0.4, band_bits: int = 4) -> str:
-    n_bands = similarity.NUM_PLANES // band_bits
-    mask = (1 << band_bits) - 1
-    band_eq = " OR ".join(
-        f"((a.bucket >> {b * band_bits}) & {mask}) = "
-        f"((b.bucket >> {b * band_bits}) & {mask})"
-        for b in range(n_bands)
-    )
+def _lsh_band_exprs(dims: int = 64) -> list[str]:
+    """Per-band SQL values of the wide near-dup code (NEARDUP_PLANES
+    planes split into band_bits-wide bands) over a DOUBLE[] column
+    ``v`` — the same md5-derived ±1 planes as similarity.with_lsh_bands,
+    so both engines band identically."""
+    num_planes = similarity.NEARDUP_PLANES
+    band_bits = similarity.NEARDUP_BAND_BITS
+    signs = similarity.plane_signs(num_planes, dims)
+    exprs = []
+    for b in range(num_planes // band_bits):
+        parts = []
+        for j in range(band_bits):
+            p = b * band_bits + j
+            terms = "".join(
+                ("+" if signs[p][d] > 0 else "-") + f"v[{d + 1}]"
+                for d in range(dims)
+            )
+            parts.append(
+                f"(CASE WHEN ({terms.lstrip('+')}) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        exprs.append("(" + " + ".join(parts) + ")")
+    return exprs
+
+
+def _lsh_neardup_oracle_sql(threshold: float = 0.4) -> str:
+    band_cols = ", ".join(f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs()))
+    n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
+    band_eq = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(n_bands))
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    bk AS (SELECT vec_id, ({_lsh_bucket_expr()}) AS bucket FROM e),
+    bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})
@@ -476,8 +496,10 @@ def _lsh_neardup_oracle_sql(threshold: float = 0.4, band_bits: int = 4) -> str:
 @query("sim_embedding_neardup", _lsh_neardup_oracle_sql())
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, SCALE SEMANTICS: banded hyperplane-LSH
-    candidates (share ≥1 of 4 × 4-bit bands of the md5-derived 16-bit
-    code) + exact cosine rerank ≥ 0.4. The oracle replays the exact
+    candidates (share ≥1 of 8 × 8-bit bands of the md5-derived 64-plane
+    code — widened from 4 × 4-bit after the sf1 scale gate measured the
+    16-value band space going quadratic) + exact cosine rerank ≥ 0.4.
+    The oracle replays the exact
     same candidate generation in SQL (deterministic planes), so parity
     is bit-for-bit on these semantics. The exact all-pairs contract
     lives on as sim_embedding_neardup_exact — sub-quadratic exact
@@ -940,7 +962,13 @@ def q_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, " ".join(chunk), len(chunk)
 
     spark.udtf.register("token_chunks", TokenChunks)
-    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    # a single parquet file scans as ONE partition, which would run the
+    # whole corpus through one Python worker (the sf1 scale gate measured
+    # it: linear work, zero parallelism). Spread rows across the default
+    # shuffle width first — one cheap exchange buys full-width UDTF eval.
+    docs.select("doc_id", "text").repartition(F.col("doc_id")).createOrReplaceTempView(
+        "_udtf_docs"
+    )
     return spark.sql(
         "SELECT tc.* FROM _udtf_docs, LATERAL token_chunks(doc_id, text) tc"
     )

@@ -721,20 +721,18 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
-def _knn_graph_oracle_sql(k: int = 3, band_bits: int = 4) -> str:
+def _knn_graph_oracle_sql(k: int = 3) -> str:
     from gibbon_spark.operators import similarity
-    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_bucket_expr
+    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_band_exprs
 
-    n_bands = similarity.NUM_PLANES // band_bits
-    mask = (1 << band_bits) - 1
-    band_eq = " OR ".join(
-        f"((a.bucket >> {b * band_bits}) & {mask}) = "
-        f"((b.bucket >> {b * band_bits}) & {mask})"
-        for b in range(n_bands)
+    band_cols = ", ".join(
+        f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs())
     )
+    n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
+    band_eq = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(n_bands))
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    bk AS (SELECT vec_id, ({_lsh_bucket_expr()}) AS bucket FROM e),
+    bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})

@@ -142,6 +142,11 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the join back is per-(window, hash) — each doc's window
     matches exactly one `d` row."""
     (docs,) = _prep(spark, sf_dir, "documents")
+    # a compact single-file corpus scans as ONE split, which would run
+    # the window-explode + per-window md5 in one task (the sf1 scale
+    # gate measured it). One pre-explode exchange on doc rows (cheap at
+    # any scale — rows are docs, not windows) buys full map width.
+    docs = docs.repartition(F.col("doc_id"))
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.length("text") - _SUB_W + 1, F.lit(1)),

@@ -66,7 +66,15 @@ def gen_all(sf: float, out_dir: str, seed: int = 42) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     def write(name: str, table: pa.Table) -> None:
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # bounded row groups: a real distributed writer emits many row
+        # groups/files, and Spark's scan splits need row-group
+        # boundaries to parallelize a single file. One giant row group
+        # (pyarrow's default for <64Mi rows) serializes every map stage
+        # over the table into one task.
+        rg = max(4096, table.num_rows // 64)
+        pq.write_table(
+            table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rg
+        )
         print(f"  {name}: {table.num_rows} rows")
 
     # --- region / nation (fixed) ------------------------------------
