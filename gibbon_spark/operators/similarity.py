@@ -215,8 +215,16 @@ def embedding_neardup_pairs(
     )
 
 
-NEARDUP_PLANES = 64  # self-join banding: 8 bands x 8 bits
-NEARDUP_BAND_BITS = 8
+# Self-join banding: 32 bands x 16 bits (512 md5-derived planes).
+# Band VALUE SPACE is the quadratic-floor control: a random (cos ~ 0)
+# pair collides in a k-bit band with prob 2^-k, so background candidates
+# are ~bands * n^2 / 2^k — with 8-bit bands (256 values) the floor is
+# n^2/32 and the sf3 scale gate measured the kNN-graph build at 42x cost
+# on 3x data; 16-bit bands push the floor to n^2/2048 with avg bucket
+# size n/65536 (<1 until ~100k vectors per partition-shard). Recall for
+# true near-dups (cos >= 0.9, p = 0.857/plane): 1-(1-0.857^16)^32 = 0.94.
+NEARDUP_PLANES = 512
+NEARDUP_BAND_BITS = 16
 
 
 def with_lsh_bands(
@@ -270,9 +278,11 @@ def lsh_neardup_pairs(
     This is NOT result-identical to the exact all-pairs join
     (:func:`pairwise_cosine_pairs`): candidate recall for a pair at
     angle θ is ``1 − (1 − p^r)^b`` with ``p = 1 − θ/π``. No banding
-    fixes that at low thresholds — at cos 0.4, p ≈ 0.63, 8×8-bit bands
-    recall ~22% of boundary pairs (true near-dups at cos ≥ 0.9 recall
-    0.94). Sub-quadratic exact threshold-join on dense random vectors
+    fixes that at low thresholds — at cos 0.4, p ≈ 0.63, 32×16-bit
+    bands recall ~2% of boundary pairs (true near-dups at cos ≥ 0.9
+    recall 0.94 — the operating point; boundary-pair recall is the
+    price of the sub-quadratic candidate floor, see the NEARDUP_PLANES
+    comment). Sub-quadratic exact threshold-join on dense random vectors
     is the orthogonal-vectors problem — conjectured impossible in
     general — which is why production near-dup pipelines run LSH
     semantics. The md5-derived planes make the candidate step
@@ -280,11 +290,10 @@ def lsh_neardup_pairs(
     these semantics EXACTLY — the parity check is still bit-for-bit,
     it just checks the LSH contract, not the all-pairs one.
 
-    Band width is the SCALE lever: a random (cos ≈ 0) pair collides in
-    an 8-bit band with prob 2^-8, so background candidates are
-    ~8·n²/256 of all pairs at worst — the first cut used 4×4-bit bands
-    (16 values per band, ≥ n²/8 candidates on ANY data) and the sf1
-    scale gate measured it at 29× cost on 10× data.
+    Band width is the SCALE lever — see the NEARDUP_PLANES comment for
+    the measured history (4×4-bit: 29× on 10× data at sf1; 8×8-bit:
+    42× on 3× data at sf3; 32×16-bit: the quadratic floor at n²/2048
+    with sub-1 average buckets until ~100k vectors).
 
     Plan shape: one map (bucket GEMM), one keyed self-join on
     (band, band-value) carrying IDS ONLY (the 64-float payloads would

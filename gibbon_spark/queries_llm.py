@@ -496,9 +496,10 @@ def _lsh_neardup_oracle_sql(threshold: float = 0.4) -> str:
 @query("sim_embedding_neardup", _lsh_neardup_oracle_sql())
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, SCALE SEMANTICS: banded hyperplane-LSH
-    candidates (share ≥1 of 8 × 8-bit bands of the md5-derived 64-plane
-    code — widened from 4 × 4-bit after the sf1 scale gate measured the
-    16-value band space going quadratic) + exact cosine rerank ≥ 0.4.
+    candidates (share ≥1 of 32 × 16-bit bands of the md5-derived
+    512-plane code — widened twice after the sf1/sf3 scale gates
+    measured the 16-value and 256-value band spaces going quadratic)
+    + exact cosine rerank ≥ 0.4.
     The oracle replays the exact
     same candidate generation in SQL (deterministic planes), so parity
     is bit-for-bit on these semantics. The exact all-pairs contract

