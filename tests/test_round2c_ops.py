@@ -38,12 +38,16 @@ def test_geo_nearest_matches_bruteforce_within_neighborhood(spark):
     sup = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").toPandas()
     sup["sx"] = [h("sx:", k) for k in sup.s_suppkey]
     sup["sy"] = [h("sy:", k) for k in sup.s_suppkey]
+    # density-adaptive cell width, same derivation as the query/oracle
+    import math
+
+    cell = 10000 // max(int(math.floor(math.sqrt(float(len(sup))))), 1)
     checked = 0
     for _, r in pdf.head(40).iterrows():
         cx, cy = h("gx:", r.c_custkey), h("gy:", r.c_custkey)
-        cellx, celly = cx // 1000, cy // 1000
+        cellx, celly = cx // cell, cy // cell
         cand = sup[
-            (abs(sup.sx // 1000 - cellx) <= 1) & (abs(sup.sy // 1000 - celly) <= 1)
+            (abs(sup.sx // cell - cellx) <= 1) & (abs(sup.sy // cell - celly) <= 1)
         ].copy()
         assert len(cand) == r.n_candidates
         cand["d2"] = (cand.sx - cx) ** 2 + (cand.sy - cy) ** 2
