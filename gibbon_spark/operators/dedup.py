@@ -454,8 +454,37 @@ def _rejoin_sigs_est(
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """HOT-BAND mitigation: drop band buckets with more than
+    ``max_bucket`` members before the self-join.
+
+    MinHash signatures ride the corpus's hottest shingles by definition
+    of min(), so a boilerplate shingle that is the global minimum for a
+    hash seed collects every doc containing it into ONE bucket — the
+    sf3 scale gate measured the resulting band join going quadratic at
+    high duplication skew (SCALE.md). Candidates from a giant bucket
+    add no dedup precision (doc groups that large are caught by the
+    exact-hash dedup pass first), and the cap bounds the band join at
+    O(n·bands·max_bucket). Deterministic and SQL-replayable (count per
+    (band, key), filter), so a capped query can still be oracle-exact.
+    ``None`` disables the cap (the registered queries' current
+    contract)."""
+    if max_bucket is None:
+        return banded
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        banded.join(sizes, ["band", "key"])
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, *, num_hashes: int = 12, bands: int = 4
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands × rows_per_band = num_hashes); docs
     sharing any full band become candidates. est_sim = fraction of equal
@@ -466,9 +495,14 @@ def lsh_candidate_pairs(
     payload would otherwise ride every band row, the join, and the
     pair dedup (k/r× the bytes for zero information; the id→sig map is
     joined back once on the deduped pairs instead). Join meets only
-    same-bucket docs. No O(n²)."""
-    banded = _banded(sigs, num_hashes=num_hashes, bands=bands).select(
-        "id", "band", "key"
+    same-bucket docs; pass ``max_bucket`` to also skip hot buckets
+    (see :func:`_cap_buckets`) when the corpus has heavy duplication
+    skew. No O(n²)."""
+    banded = _cap_buckets(
+        _banded(sigs, num_hashes=num_hashes, bands=bands).select(
+            "id", "band", "key"
+        ),
+        max_bucket,
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

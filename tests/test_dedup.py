@@ -175,3 +175,32 @@ def test_lsh_cross_pairs_incoming_vs_index_only(spark):
     assert (100, 1) in got and (100, 2) in got
     assert all(a in (100, 5, 7) and b in (1, 2, 3) for a, b in got)
     assert not any(a == 7 for a, _ in got)
+
+
+def test_lsh_bucket_cap_drops_hot_buckets_only(spark):
+    """max_bucket must drop candidates that come ONLY from over-sized
+    buckets, leave everything else identical, and stay a subset."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(12)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon zeta"),
+        (200, "completely unrelated words in this one here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, num_hashes=4)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, num_hashes=4, bands=2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, num_hashes=4, bands=2, max_bucket=4
+        ).collect()
+    }
+    assert capped <= uncapped
+    # the 12-doc boilerplate clique (66 pairs) is gone...
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    # ...but the small exact-dup pair survives the cap
+    assert (100, 101) in capped
