@@ -683,7 +683,22 @@ def simhash_pairs(
     (chunk_idx, chunk_val), then verify with bit_count(xor). Each row
     emits 4 band rows, and a random non-dup pair only meets with prob
     4/2^15 — the constant that keeps the band join sub-quadratic
-    (measured: the 8-bit-chunk variant went 31x on 10x data at sf1)."""
+    (measured: the 8-bit-chunk variant went 31x on 10x data at sf1).
+
+    The pigeonhole guarantee only holds for ``max_hamming <=
+    SIMHASH_CHUNKS - 1``: at hamming = CHUNKS every chunk can carry one
+    flipped bit and a true pair may share NO intact chunk, so the banded
+    join silently under-recalls (per-chunk chance collision is 2^-15 —
+    negligible, not a guarantee). Manku et al. (WWW'07) derive chunks =
+    max_hamming + 1 for exactly this reason; rather than silently
+    widening the banding we reject the unsupported radius."""
+    if max_hamming > SIMHASH_CHUNKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"the {SIMHASH_CHUNKS}-chunk banding (supports max_hamming <= "
+            f"{SIMHASH_CHUNKS - 1}); pairs beyond that would be silently "
+            "missed. Use a chunk count of max_hamming + 1 (Manku WWW'07)."
+        )
     bits_per_chunk = SIMHASH_BITS // SIMHASH_CHUNKS
     chunk_mask = (1 << bits_per_chunk) - 1
     sh = simhash(docs, id_col=id_col, text_col=text_col, n=n)

@@ -35,7 +35,7 @@ def salted_summary(
     averages)."""
     keys = list(keys)
     salted = df.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets)
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         F.min(value).alias("_min"),
@@ -68,7 +68,7 @@ def salted_distinct_count(
     sum the per-shard distinct counts)."""
     keys = list(keys)
     salted = df.withColumn(
-        "_salt", F.abs(F.hash(F.col(distinct_col))) % salt_buckets
+        "_salt", F.pmod(F.hash(F.col(distinct_col)), salt_buckets)
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         F.countDistinct(distinct_col).alias("_d")
@@ -96,7 +96,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    salt = F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets
+    # pmod, NOT abs()%: abs(Int.MinValue) stays negative in non-ANSI
+    # Spark, so for a non-power-of-two salt_buckets a ~2^-32/row slice of
+    # fact rows would get a negative salt matching no replicated dim salt
+    # and silently vanish from an inner join. pmod is always in [0, S).
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets)
     f = fact.withColumn("_salt", salt)
     explode_salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))

@@ -35,12 +35,16 @@ _ZIPF_FACT_SQL = f"""
     WITH fact AS (
       SELECT l_orderkey * 8 + l_linenumber AS i,
              (l_orderkey + l_linenumber) % 1000 AS m,
-             least(CAST(floor(1.0 / (
+             -- least() in DOUBLE *before* the BIGINT cast: when the md5
+             -- 8-hex prefix is 00000000 (h+1=1, u=2^-32) the floor is
+             -- 2^64, which overflows a direct BIGINT cast in DuckDB,
+             -- while Spark's floor saturates at Long.MAX and then caps.
+             CAST(least(floor(1.0 / (
                (('0x' || substr(md5('zipf:' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT + 1)
                / {_TWO_32} *
                ((('0x' || substr(md5('zipf:' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT + 1)
                / {_TWO_32})
-             )) AS BIGINT), {_ZIPF_CAP}) AS zkey
+             )), {_ZIPF_CAP}.0) AS BIGINT) AS zkey
       FROM lineitem
     ),
     dim AS (

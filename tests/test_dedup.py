@@ -107,11 +107,11 @@ def test_simhash_pairs_near_dups_only(spark):
     Manku-style near-dup definition). The 13-token DOCS corpus above is
     below that point — a one-word edit there changes ~25% of shingles,
     which is 'different documents' to a 60-bit simhash (correctly)."""
-    base = " ".join(f"tok{i}" for i in range(60))
+    base = " ".join(f"tok{i}" for i in range(150))
     docs = spark.createDataFrame(
         [
             (0, base),
-            (1, base.replace("tok30", "changed")),  # 1 edit in 60 tokens
+            (1, base.replace("tok75", "changed")),  # 1 edit in 150 tokens
             (3, "completely different content about spark engines and parquet files here today"),
             (4, "yet another document with totally distinct vocabulary and no overlap at all now"),
         ],
@@ -119,10 +119,19 @@ def test_simhash_pairs_near_dups_only(spark):
     )
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
     }
-    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert all((3 not in p and 4 not in p) for p in pairs)
+
+
+def test_simhash_pairs_rejects_unguaranteed_radius(spark):
+    """The 4-chunk banding pigeonhole only covers hamming <= 3; larger
+    radii would silently under-recall, so they must be rejected."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(_docs_df(spark), max_hamming=8)
 
 
 def test_minhash_estimates_jaccard(spark):

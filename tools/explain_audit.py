@@ -140,8 +140,15 @@ def count_partitionless_windows(plan: str) -> int:
             groups = _toplevel_groups(m.group(1))
             if len(groups) == 3:
                 continue  # partition spec present
-            if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            if (
+                len(groups) == 2
+                and groups[1].strip() != ""
+                and not re.search(r"\b(ASC|DESC)\b", groups[1])
+            ):
                 continue  # second group is a partition spec (unordered window)
+            # an EMPTY second group (`Window [...], []`) is a partition-less
+            # UNORDERED window — the whole frame funnels through one task;
+            # flag it like the ordered case.
             n += 1
         # WindowGroupLimit prints its partition spec first: empty → `[],`
         if re.search(r"WindowGroupLimit \[\],", line):

@@ -185,7 +185,11 @@ def gen_all(sf: float, out_dir: str, seed: int = 42) -> None:
     )
 
     # --- lineitem (1 + Poisson(3) lines per order, driver-like avg 4) -
-    per_order = 1 + rng.poisson(3.0, n_ord)
+    # Clamped to <= 7 lines: the driver testdata / TPC-H cap is
+    # l_linenumber <= 7 (verified max 7 at sf0.1), and the synthetic
+    # row id l_orderkey*8 + l_linenumber used by skew_zipf_join is only
+    # collision-free under that cap.
+    per_order = np.minimum(1 + rng.poisson(3.0, n_ord), 7)
     l_orderkey = np.repeat(np.arange(n_ord, dtype=np.int64), per_order)
     l_odate = np.repeat(odate_us, per_order)
     n_li = len(l_orderkey)
