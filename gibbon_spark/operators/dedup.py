@@ -454,6 +454,18 @@ def _rejoin_sigs_est(
     )
 
 
+# Default hot-band cap for the REGISTERED MinHash-LSH queries. Picked
+# from lsh_band_stats measurements (round 4): the driver-shaped corpora
+# top out at bucket size 4 (sf0.1, 5k docs) and the generated scale
+# corpora at 38 (sf3, 150k docs), so 64 preserves every candidate pair
+# on real-shaped data through sf3 (pairs_cut_at_64 == 0 at every scale)
+# while bounding the band self-join at O(n*bands*64) under adversarial
+# duplication skew — the hot-band quadratic cannot occur. The identical
+# count-per-(band,key) filter is emitted into every generated oracle
+# SQL, so capped queries stay oracle-exact by construction.
+LSH_MAX_BUCKET = 64
+
+
 def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     """HOT-BAND mitigation: drop band buckets with more than
     ``max_bucket`` members before the self-join.
@@ -467,8 +479,8 @@ def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     exact-hash dedup pass first), and the cap bounds the band join at
     O(n·bands·max_bucket). Deterministic and SQL-replayable (count per
     (band, key), filter), so a capped query can still be oracle-exact.
-    ``None`` disables the cap (the registered queries' current
-    contract)."""
+    The registered queries run with ``max_bucket=LSH_MAX_BUCKET``;
+    ``None`` disables the cap."""
     if max_bucket is None:
         return banded
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
@@ -524,6 +536,7 @@ def lsh_candidate_pairs_cross(
     *,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates BETWEEN two signature sets — the incremental-dedup
     join: ``sigs_a`` is the incoming batch, ``sigs_b`` the standing
@@ -534,13 +547,32 @@ def lsh_candidate_pairs_cross(
     index side a pre-computed signature table — the band join touches
     only colliding buckets; the full corpus text is never re-shingled.
     Band rows carry ids only (see lsh_candidate_pairs); signatures
-    rejoin on the deduped pairs."""
+    rejoin on the deduped pairs.
+
+    ``max_bucket`` caps hot band buckets by the COMBINED
+    (incoming + index) member count per (band, key) — the blowup is
+    |A_bucket|x|B_bucket|, so the hot-bucket notion spans both sides,
+    and the combined count is what the oracle SQL (which bands the
+    whole corpus before the split filter) naturally replays."""
     a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).select(
         "id", "band", "key"
-    ).alias("a")
+    )
     b = _banded(sigs_b, num_hashes=num_hashes, bands=bands).select(
         "id", "band", "key"
-    ).alias("b")
+    )
+    if max_bucket is not None:
+        sizes = (
+            a.unionByName(b)
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+        )
+        a = a.join(sizes, ["band", "key"]).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+        b = b.join(sizes, ["band", "key"]).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a, b = a.alias("a"), b.alias("b")
     cand = (
         a.join(
             b,
@@ -561,12 +593,67 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     min_est: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
-    pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
     return pairs.filter(F.col("est_jaccard") >= min_est)
+
+
+def lsh_band_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    size_thresholds: Sequence[int] = (4, 16, 64),
+) -> DataFrame:
+    """Per-band profile of LSH bucket sizes — the telemetry a 100-TB
+    operator reads to pick ``max_bucket`` from data instead of a
+    constant (the band-join cost is sum over buckets of s*(s-1)/2, and
+    this query shows exactly how much of that pair mass the largest
+    buckets carry).
+
+    One row per band: bucket count, singleton count, max size, total
+    candidate pairs the band join would materialize, and for each
+    threshold t in ``size_thresholds`` the number of pairs that a
+    ``max_bucket=t`` cap would eliminate. All integer-exact (BIGINT
+    sums of s*(s-1)/2), so the DuckDB oracle replays it bit-for-bit.
+
+    Scale posture: signatures are O(docs); the profile is two hash
+    aggregations (docs*bands band rows -> bucket sizes -> per-band
+    rollup). No joins, no quadratic term — safe to run on the full
+    corpus BEFORE committing to a cap."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    sizes = (
+        _banded(sigs, num_hashes=num_hashes, bands=bands)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    # integer DIV, not float /: exact for any bucket size (a double
+    # round-trip would round above 2^53 pair counts)
+    pairs = F.expr("s * (s - 1) DIV 2").cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_singleton"),
+        F.max("s").alias("max_size"),
+        F.sum(pairs).alias("total_pairs"),
+    ]
+    for t in size_thresholds:
+        aggs.append(
+            F.sum(F.when(F.col("s") > t, pairs).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"pairs_cut_at_{t}")
+        )
+    return sizes.groupBy("band").agg(*aggs).orderBy("band")
 
 
 # ---------------------------------------------------------------------------

@@ -297,7 +297,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs_prefix(docs, n=3, threshold=0.5)
 
 
-def _minhash_oracle_sql(num_hashes: int = 12, bands: int = 4, min_est: float = 0.5) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
+) -> str:
     r = num_hashes // bands
     sig_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
@@ -313,6 +318,16 @@ def _minhash_oracle_sql(num_hashes: int = 12, bands: int = 4, min_est: float = 0
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
+    # Hot-band cap, replaying operators.dedup._cap_buckets exactly:
+    # count members per (band, key), keep only buckets <= max_bucket.
+    if max_bucket is not None:
+        bl_body = f"""bl0 AS ({band_union}),
+    bsz AS (SELECT band, key, count(*) AS _bn FROM bl0 GROUP BY band, key),
+    bl AS (SELECT bl0.id, bl0.band, bl0.key
+           FROM bl0 JOIN bsz ON bl0.band = bsz.band AND bl0.key = bsz.key
+           WHERE bsz._bn <= {max_bucket})"""
+    else:
+        bl_body = f"bl AS ({band_union})"
     return (
         _SHINGLE_CTE
         + f"""
@@ -320,7 +335,7 @@ def _minhash_oracle_sql(num_hashes: int = 12, bands: int = 4, min_est: float = 0
       SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id
     ),
     banded AS (SELECT id, {band_keys} FROM sigs),
-    bl AS ({band_union}),
+    {bl_body},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bl a JOIN bl b ON a.band = b.band AND a.key = b.key AND a.id < b.id
@@ -340,9 +355,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands × 3 rows) near-dup candidates with
     signature-estimated Jaccard — the 100 TB dedup path: constant-size
     signatures, band-bucket join, no all-pairs comparison. md5-based hash
-    family makes the whole pipeline replayable in the DuckDB oracle."""
+    family makes the whole pipeline replayable in the DuckDB oracle.
+
+    Runs with the default-on hot-band cap (max_bucket=LSH_MAX_BUCKET=64,
+    picked from lsh_band_stats: no tested corpus through sf3 exceeds
+    bucket size 38, so the cap changes zero rows on real-shaped data
+    while bounding the band join at O(n*bands*64) under adversarial
+    duplication skew). The oracle SQL carries the identical
+    count-per-(band,key) filter."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, min_est=0.5,
+        max_bucket=dedup.LSH_MAX_BUCKET,
+    )
 
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
@@ -895,7 +920,10 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same generated SQL pieces, so this checks the COMPOSITION, not
     just the parts."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, min_est=0.5,
+        max_bucket=dedup.LSH_MAX_BUCKET,
+    )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     scored = docs.select(
         "doc_id",
@@ -1248,7 +1276,10 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure in DuckDB over the identical md5-deterministic
     edge set."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, min_est=0.5)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, min_est=0.5,
+        max_bucket=dedup.LSH_MAX_BUCKET,
+    )
     comp = dedup.connected_components(pairs)
     return (
         comp.groupBy("component")
@@ -1331,7 +1362,10 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle_sql(
-    num_hashes: int = 12, bands: int = 4, min_est: float = 0.5
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
 ) -> str:
     """Oracle for incremental dedup: the same md5 MinHash/band pipeline
     as _minhash_oracle_sql, restricted to (incoming × index) pairs by
@@ -1353,6 +1387,17 @@ def _incremental_oracle_sql(
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
+    # Hot-band cap on the COMBINED (incoming + index) bucket count —
+    # bl bands the whole corpus before the split filter, so counting on
+    # bl replays lsh_candidate_pairs_cross's unioned-sides semantics.
+    if max_bucket is not None:
+        bl_body = f"""bl0 AS ({band_union}),
+    bsz AS (SELECT band, key, count(*) AS _bn FROM bl0 GROUP BY band, key),
+    bl AS (SELECT bl0.id, bl0.band, bl0.key
+           FROM bl0 JOIN bsz ON bl0.band = bsz.band AND bl0.key = bsz.key
+           WHERE bsz._bn <= {max_bucket})"""
+    else:
+        bl_body = f"bl AS ({band_union})"
     return (
         _SHINGLE_CTE
         + f"""
@@ -1363,7 +1408,7 @@ def _incremental_oracle_sql(
     ),
     sigs AS (SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id),
     banded AS (SELECT id, {band_keys} FROM sigs),
-    bl AS ({band_union}),
+    {bl_body},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bl a JOIN bl b ON a.band = b.band AND a.key = b.key
@@ -1414,7 +1459,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the index's hash set, and (b) near, by banded MinHash
     collisions against index signatures only
     (operators.dedup.lsh_candidate_pairs_cross — no within-batch or
-    within-index pairs). Verdict: exact > near > new."""
+    within-index pairs). Verdict: exact > near > new.
+
+    The cross band join runs with the default-on hot-band cap
+    (max_bucket=LSH_MAX_BUCKET, combined-count semantics — see
+    lsh_candidate_pairs_cross), replayed identically in the oracle."""
     (docs,) = _prep(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -1433,7 +1482,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs_in = dedup.minhash_signatures(incoming)
     sigs_ix = dedup.minhash_signatures(index)
     near = (
-        dedup.lsh_candidate_pairs_cross(sigs_in, sigs_ix)
+        dedup.lsh_candidate_pairs_cross(
+            sigs_in, sigs_ix, max_bucket=dedup.LSH_MAX_BUCKET
+        )
         .filter(F.col("est_jaccard") >= 0.5)
         .groupBy(F.col("id_a").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))

@@ -1,0 +1,75 @@
+"""Round-4 query registrations: LSH band-bucket telemetry.
+
+Reference parity: gibbon is a single-series codec (``src/lib.rs:1-19``)
+with no dedup surface; this telemetry belongs to the 100 TB
+training-data-pipeline layer the brief mandates — it is how a cluster
+operator picks the MinHash hot-band cap (``LSH_MAX_BUCKET``) from data
+instead of a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gibbon_spark.operators import dedup
+from gibbon_spark.queries import _prep, query
+from gibbon_spark.queries_llm import _SHINGLE_CTE
+
+_BAND_THRESHOLDS = (4, 16, 64)
+
+
+def _band_stats_oracle_sql(
+    num_hashes: int = 12,
+    bands: int = 4,
+    thresholds: tuple[int, ...] = _BAND_THRESHOLDS,
+) -> str:
+    """Generated from the same md5 MinHash/band construction as
+    _minhash_oracle_sql so the banding cannot drift from the Spark
+    side (operators.dedup._banded)."""
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * r + j}" for j in range(r)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
+    )
+    cut_cols = ", ".join(
+        f"CAST(sum(CASE WHEN s > {t} THEN s * (s - 1) // 2 ELSE 0 END) AS BIGINT)"
+        f" AS pairs_cut_at_{t}"
+        for t in thresholds
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sigs AS (SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS (SELECT id, {band_keys} FROM sigs),
+    bl AS ({band_union}),
+    sizes AS (SELECT band, key, count(*) AS s FROM bl GROUP BY band, key)
+    SELECT band,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+           CAST(max(s) AS BIGINT) AS max_size,
+           CAST(sum(s * (s - 1) // 2) AS BIGINT) AS total_pairs,
+           {cut_cols}
+    FROM sizes
+    GROUP BY band
+    ORDER BY band
+    """
+    )
+
+
+@query("lsh_band_stats", _band_stats_oracle_sql())
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-band telemetry for the MinHash-LSH dedup path: per band, the
+    bucket count, singleton count, max bucket size, total candidate
+    pairs the band join would materialize (sum s*(s-1)/2), and the pair
+    mass a cap at each threshold would eliminate. This is the profile
+    that justifies LSH_MAX_BUCKET=64 (pairs_cut_at_64 == 0 at every
+    tested scale through sf3) — the analogue of skew_key_stats for the
+    band join. Integer-exact; two hash aggregations, no joins."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup.lsh_band_stats(docs, size_thresholds=_BAND_THRESHOLDS)
