@@ -252,6 +252,91 @@ class DoubleDecoder:
         return struct.unpack("<d", struct.pack("<Q", self.value))[0]
 
 
+class DoubleEncoderLeadTrail:
+    """The reference's NON-shrinking-window XOR variant
+    (``src/double_stream_lead_trail.rs:35-107``): the (leading_zeros,
+    meaningful_count) window persists across values and only changes on
+    an explicit ``11`` record — unlike :class:`DoubleEncoder`, whose
+    implicit window derives from the PREVIOUS xor and so shrinks on
+    every reuse. Same three control codes (``0`` repeat, ``10`` fit in
+    current window, ``11`` + 5-bit lz [capped 31, ``[LEADING31]``] +
+    6-bit meaningful-1 [``[MEANING64]``] + meaningful bits).
+
+    The reference ships this writer-only with no decoder and no tests
+    (its README calls the lead/trail-vs-shrinking choice unresolved);
+    the format here is derived from the writer's spec and pinned by
+    hand-computed golden bit strings in tests/test_gorilla_codec.py.
+    :class:`DoubleDecoderLeadTrail` is our extension — the reference
+    has nothing to diverge from."""
+
+    def __init__(self) -> None:
+        self.value: int | None = None
+        self.lz = 64  # forces the first change to open a window
+        self.mc = 0
+
+    def push(self, number: float, w: BitWriter) -> None:
+        bits = struct.unpack("<Q", struct.pack("<d", number))[0]
+        if self.value is None:
+            w.write(bits, 64)
+            self.value = bits
+            self.lz, self.mc = 64, 0
+            return
+        xored = self.value ^ bits
+        if xored == 0:
+            w.write(0, 1)  # window KEPT (the reference's explicit choice)
+        else:
+            lz = min(_lz64(xored), 31)
+            tz = _tz64(xored)
+            prev_tz = 64 - self.lz - self.mc
+            if lz >= self.lz and tz >= prev_tz:
+                # fits the standing window — window size unchanged
+                w.write(0b10, 2)
+                w.write(xored >> prev_tz, 64 - prev_tz - self.lz)
+            else:
+                meaningful = 64 - tz - lz
+                w.write(0b11, 2)
+                w.write(lz, 5)
+                w.write(meaningful - 1, 6)
+                w.write(xored >> tz, meaningful)
+                self.lz, self.mc = lz, meaningful
+        self.value = bits
+
+
+class DoubleDecoderLeadTrail:
+    """Decoder for :class:`DoubleEncoderLeadTrail` (our extension: the
+    reference never wrote one). Mirrors the writer's persistent-window
+    state machine exactly."""
+
+    def __init__(self) -> None:
+        self.value: int | None = None
+        self.lz = 64
+        self.mc = 0
+
+    def next(self, r: BitReader) -> float | None:
+        if self.value is None:
+            bits = r.read(64)
+            if bits is None:
+                return None
+            self.value = bits
+            self.lz, self.mc = 64, 0
+        else:
+            ctl = r.read(1)
+            if ctl is None:
+                return None
+            if ctl == 1:
+                if r.read(1) == 0:  # fit in the standing window
+                    prev_tz = 64 - self.lz - self.mc
+                    new_xor = r.read(64 - prev_tz - self.lz) << prev_tz
+                else:  # explicit new window
+                    lz = r.read(5)
+                    meaningful = r.read(6) + 1
+                    tz = 64 - meaningful - lz
+                    new_xor = r.read(meaningful) << tz
+                    self.lz, self.mc = lz, meaningful
+                self.value ^= new_xor
+        return struct.unpack("<d", struct.pack("<Q", self.value))[0]
+
+
 # ---------------------------------------------------------------------------
 # Compound (ts, value) block API — time_and_value_stream.rs:20-51
 # ---------------------------------------------------------------------------

@@ -62,6 +62,81 @@ def _band_stats_oracle_sql(
     )
 
 
+@query(
+    "gorilla_leadtrail_value_parity",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           count(*) AS n_samples,
+           TRUE AS roundtrip_ok
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_gorilla_leadtrail_value_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.1 #10 — the reference's lead/trail XOR variant
+    (``src/double_stream_lead_trail.rs:35-107``, shipped writer-only and
+    untested there): encode every series' value stream with
+    DoubleEncoderLeadTrail, decode with our extension decoder, and
+    assert BIT-exact round-trip per series, distributed via
+    applyInPandas (one shuffle on the series key; blocks independent, so
+    100 TB = many series, never a big task). The oracle pins per-series
+    row counts and roundtrip_ok=TRUE — one garbled window anywhere flips
+    the hash. Golden bit-string parity with the writer spec is pinned in
+    tests/test_gorilla_codec.py."""
+    import pandas as pd
+
+    from gibbon_spark.codec import spark_ops
+
+    spark_ops._ship_codec_by_value()
+    (events,) = _prep(spark, sf_dir, "events")
+
+    def check_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import struct as _struct
+
+        from gibbon_spark.codec.gorilla import (
+            BitReader,
+            BitWriter,
+            DoubleDecoderLeadTrail,
+            DoubleEncoderLeadTrail,
+        )
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        w = BitWriter()
+        enc = DoubleEncoderLeadTrail()
+        for v in vals:
+            enc.push(float(v), w)
+        data, nbits = w.getvalue()
+        dec = DoubleDecoderLeadTrail()
+        r = BitReader(data, nbits)
+        ok = True
+        n = 0
+        for v in vals:
+            got = dec.next(r)
+            if got is None or _struct.pack("<d", got) != _struct.pack(
+                "<d", float(v)
+            ):
+                ok = False
+                break
+            n += 1
+        ok = ok and n == len(vals) and dec.next(r) is None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_samples": [len(vals)],
+                "roundtrip_ok": [bool(ok)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            check_group, "user_id bigint, n_samples bigint, roundtrip_ok boolean"
+        )
+    )
+
+
 @query("lsh_band_stats", _band_stats_oracle_sql())
 def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-band telemetry for the MinHash-LSH dedup path: per band, the

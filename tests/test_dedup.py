@@ -213,3 +213,63 @@ def test_lsh_bucket_cap_drops_hot_buckets_only(spark):
     assert any(a < 100 and b < 100 for a, b in uncapped)
     # ...but the small exact-dup pair survives the cap
     assert (100, 101) in capped
+
+
+def test_lsh_cross_cap_combined_count(spark):
+    """lsh_candidate_pairs_cross caps by the COMBINED (batch + index)
+    bucket count: a bucket that is small on each side but hot overall
+    is dropped; normal pairs survive."""
+    hot = "the same boilerplate text repeated everywhere"
+    batch = spark.createDataFrame(
+        [(100 + i, hot) for i in range(6)]
+        + [(200, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(i, hot) for i in range(6)]
+        + [(50, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sa = dedup.minhash_signatures(batch, num_hashes=4)
+    sb = dedup.minhash_signatures(index, num_hashes=4)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs_cross(
+            sa, sb, num_hashes=4, bands=2
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs_cross(
+            sa, sb, num_hashes=4, bands=2, max_bucket=8
+        ).collect()
+    }
+    assert capped <= uncapped
+    # hot bucket: 6 batch + 6 index = 12 members > 8 -> dropped even
+    # though each side alone (6) is under the cap
+    assert not any(a >= 100 and a < 200 for a, _ in capped)
+    assert any(a >= 100 and a < 200 for a, _ in uncapped)
+    # the small cross pair survives
+    assert (200, 50) in capped
+
+
+def test_lsh_band_stats_exact_counts(spark):
+    """Integer-exact per-band bucket profile on a corpus with a known
+    clique: 5 identical docs band to one bucket per band, so each band
+    must report max_size >= 5 and >= 10 pairs; thresholds cut exactly
+    the pair mass of over-sized buckets."""
+    rows = [(i, "same text for the whole clique of documents") for i in range(5)]
+    rows += [(10 + i, f"unique document number {i} with its own words entirely") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.band: r for r in dedup.lsh_band_stats(
+        docs, size_thresholds=(2, 4)
+    ).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for band, r in stats.items():
+        assert r.max_size >= 5
+        assert r.total_pairs >= 10
+        # a cap at 4 cuts the 5-clique's 10 pairs (and any larger bucket)
+        assert r.pairs_cut_at_4 >= 10
+        assert r.pairs_cut_at_2 >= r.pairs_cut_at_4
+        # singletons + multi-member buckets account for all buckets
+        assert r.n_singleton <= r.n_buckets

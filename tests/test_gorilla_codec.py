@@ -226,3 +226,121 @@ def test_compression_ratio_on_regular_series():
     assert len(payload) < 100 * 16 * 0.5
     got_ts, got_vs = decode_block(payload, nbits, header)
     assert got_ts == ts and got_vs == vs
+
+
+# --- lead/trail variant (double_stream_lead_trail.rs:35-107) -------------
+# The reference ships this writer-only, with NO tests and no decoder;
+# the golden strings below are hand-derived from the writer's spec
+# (control codes 0 / 10 / 11, 5-bit lz capped at 31, 6-bit meaningful-1,
+# persistent window) and pin our implementation of that spec.
+
+from gibbon_spark.codec.gorilla import (  # noqa: E402
+    DoubleDecoderLeadTrail,
+    DoubleEncoderLeadTrail,
+)
+
+
+def _lt_bits(values):
+    w = BitWriter()
+    e = DoubleEncoderLeadTrail()
+    out = []
+    for v in values:
+        e.push(v, w)
+        out.append(w.bit_string)
+    return out
+
+
+def _roundtrip_lt(values):
+    w = BitWriter()
+    e = DoubleEncoderLeadTrail()
+    for v in values:
+        e.push(v, w)
+    data, nbits = w.getvalue()
+    d = DoubleDecoderLeadTrail()
+    r = BitReader(data, nbits)
+    got = []
+    while (x := d.next(r)) is not None:
+        got.append(x)
+    return got
+
+
+def test_lt_first_value_raw_and_zero_xor_golden():
+    bits = _lt_bits([0.0, 0.0, 0.0])
+    assert bits[0] == "0" * 64
+    assert bits[2] == "0" * 66  # two 1-bit repeats
+
+
+def test_lt_first_change_opens_window_golden():
+    # 1.0 = 0x3FF0000000000000: xor lz=2, tz=52, meaningful=10
+    # '11' + lz=2 ('00010') + meaningful-1=9 ('001001') + 0x3FF ('1111111111')
+    bits = _lt_bits([0.0, 1.0])
+    assert bits[1] == "0" * 64 + "11" + "00010" + "001001" + "1111111111"
+
+
+def test_lt_initial_window_forced_golden():
+    # Unlike DoubleEncoder (whose implicit window comes from the first
+    # value's own bits, giving '10'+14 bits here — see
+    # test_dbl_reuse_window_golden), LeadTrail starts lz=64 and MUST
+    # open an explicit window on the first change:
+    # 11.0^10.0 = 0x0002000000000000: lz=14, tz=49, meaningful=1
+    bits = _lt_bits([11.0, 10.0])
+    assert bits[1].endswith("11" + "01110" + "000000" + "1")
+    assert len(bits[1]) == 64 + 14
+
+
+def test_lt_window_persists_across_repeat_golden():
+    # THE behavioral divergence from the shrinking-window variant:
+    # after a '0' (repeat) record the standing window survives, so the
+    # next change that fits it takes 3 bits ('10' + 1 meaningful bit),
+    # where DoubleEncoder's xor-state (0 after a repeat) would force a
+    # full 14-bit '11' record.
+    bits = _lt_bits([10.0, 11.0, 11.0, 10.0])
+    r2 = "11" + "01110" + "000000" + "1"  # open window lz=14, mc=1
+    assert bits[1] == bits[0] + r2
+    assert bits[2] == bits[1] + "0"  # repeat keeps window
+    assert bits[3] == bits[2] + "10" + "1"  # fit: 3 bits total
+
+
+def test_lt_window_widens_on_misfit_golden():
+    # 10.0 -> 12.0 after window (lz=14, mc=1): xor = 0x000C000000000000,
+    # lz=12 < 14 -> new window, meaningful = 2, bits '11'
+    bits = _lt_bits([11.0, 10.0, 12.0])
+    assert bits[2] == bits[1] + "11" + "01100" + "000001" + "11"
+
+
+def test_lt_roundtrip_cases():
+    cases = [
+        [0.0],
+        [0.0, 1.0, 1.0, 0.5, -0.5],
+        [11.0, 10.0, 12.0, 10.0, 11.0, 11.0],
+        [-75.01536474599993, -75.00911189799993, 114.37647545700004],
+        [float(i) * 0.1 for i in range(500)],
+    ]
+    for c in cases:
+        assert _roundtrip_lt(c) == c
+
+
+def test_lt_all_significant_bits_roundtrip():
+    v = struct.unpack("<d", struct.pack("<Q", 0x8000000000000001))[0]
+    assert _roundtrip_lt([11.0, v, 11.0]) == [11.0, v, 11.0]
+
+
+def test_lt_lz_cap_31_roundtrip():
+    # xor with >31 leading zeros must cap the stored lz at 31 ([LEADING31])
+    a = struct.unpack("<d", struct.pack("<Q", 0x0000000100000000))[0]
+    b = struct.unpack("<d", struct.pack("<Q", 0x0000000100000001))[0]
+    assert _roundtrip_lt([a, b, a]) == [a, b, a]
+
+
+def test_lt_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(finite, min_size=1, max_size=50))
+    def run(vals):
+        assert _roundtrip_lt(vals) == vals
+
+    run()
