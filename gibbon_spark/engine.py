@@ -40,11 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 # -- production operator surface (re-exported; the facade IS the API) ----
 from gibbon_spark.operators.dedup import (  # noqa: F401
+    LSH_MAX_BUCKET,
     connected_components,
     containment_pairs_prefix,
     drop_exact_duplicates,
     exact_dedup_groups,
     jaccard_pairs_prefix,
+    lsh_band_stats,
     lsh_candidate_pairs_cross,
     minhash_lsh_pairs,
     minhash_signatures,
