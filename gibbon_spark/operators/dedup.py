@@ -510,6 +510,16 @@ def lsh_candidate_pairs(
     same-bucket docs; pass ``max_bucket`` to also skip hot buckets
     (see :func:`_cap_buckets`) when the corpus has heavy duplication
     skew. No O(n²)."""
+    # Materialize the signature table once. The plan references it up
+    # to 6x (cap size profile, both self-join sides, two rejoin
+    # probes); Catalyst's ReuseExchange covers the SYMMETRIC self-join
+    # case (A/B at sf0.1/sf1: checkpoint neutral here), but NOT the
+    # asymmetric cross variant below, where the union-of-both-sides
+    # size profile perturbs every subtree — measured 10x at sf3
+    # (dedup_incremental 21 s with checkpoint, 215 s without).
+    # Checkpointing both variants keeps the two code paths identical
+    # in shape and costs one small O(docs·k·32B) materialization.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = _cap_buckets(
         _banded(sigs, num_hashes=num_hashes, bands=bands).select(
             "id", "band", "key"
@@ -554,6 +564,13 @@ def lsh_candidate_pairs_cross(
     |A_bucket|x|B_bucket|, so the hot-bucket notion spans both sides,
     and the combined count is what the oracle SQL (which bands the
     whole corpus before the split filter) naturally replays."""
+    # Materialize both signature tables once — see lsh_candidate_pairs.
+    # Decisive HERE: each side feeds its banding, the combined
+    # (union-of-sides) size profile, and a rejoin probe, and the
+    # asymmetric subtrees defeat ReuseExchange — measured 21 s -> 215 s
+    # at sf3 without the checkpoints.
+    sigs_a = sigs_a.localCheckpoint(eager=True)
+    sigs_b = sigs_b.localCheckpoint(eager=True)
     a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).select(
         "id", "band", "key"
     )

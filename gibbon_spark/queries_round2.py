@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from gibbon_spark.functions import text as tx
 from gibbon_spark.queries import (
-    _STREAM_SINK_SEQ,
+    _finite_replay,
+    _replay_parts,
     _events_stream,
     _prep,
     _replay_width,
@@ -452,17 +453,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "purchase_id", F.col("click_id_right").alias("click_id")
     )
-    name = f"_gs_stream_ij_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, joined, mode="append")
+    return out
 
 
 # =========================================================================
@@ -703,17 +696,9 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum(F.col("value")).alias("sum_value"),
     )
-    name = f"_gs_stream_enrich_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            rolled.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, rolled, mode="complete")
+    return out
 
 
 # =========================================================================

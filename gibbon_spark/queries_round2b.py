@@ -1503,7 +1503,12 @@ def q_ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming sketch maintenance: HLL registers as streaming state
 # =========================================================================
 
-from gibbon_spark.queries import _STREAM_SINK_SEQ, _events_stream, _replay_width  # noqa: E402
+from gibbon_spark.queries import (  # noqa: E402
+    _events_stream,
+    _finite_replay,
+    _replay_parts,
+    _replay_width,
+)
 
 
 @query(
@@ -1564,17 +1569,9 @@ def q_streaming_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_num", "bucket")
         .agg(F.max("rho").alias("register"))
     )
-    name = f"_gs_stream_hll_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            regs.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name).select("day_num", "bucket", "register")
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, regs, mode="complete")
+    return out.select("day_num", "bucket", "register")
 
 
 # =========================================================================

@@ -1020,24 +1020,21 @@ def q_streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark with rank in the sink query. The post-replay rank
     partitions by window over the tiny state table, pruned by
     WindowGroupLimit to k rows per window."""
-    from gibbon_spark.queries import _STREAM_SINK_SEQ, _events_stream, _replay_width
+    from gibbon_spark.queries import (
+        _events_stream,
+        _finite_replay,
+        _replay_parts,
+        _replay_width,
+    )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = _events_stream(spark, sf_dir)
     counts = s.groupBy(
         F.window(F.col("ts").cast("timestamp"), "2 hours").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    name = f"_gs_stream_trend_{next(_STREAM_SINK_SEQ)}"
-    with _replay_width(spark):
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    state = spark.table(name).select(
+    with _replay_width(spark, _replay_parts(spark, sf_dir)):
+        out = _finite_replay(spark, counts, mode="complete")
+    state = out.select(
         F.col("w.start").alias("bucket_start"), "event_type", "n"
     )
     w = Window.partitionBy("bucket_start").orderBy(F.desc("n"), F.asc("event_type"))
