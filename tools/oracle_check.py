@@ -28,6 +28,14 @@ TABLES = (
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's memory and let it spill: DuckDB's default limit
+    # (80% of RAM) plus a concurrent 48g Spark JVM OOM-killed the sf3
+    # oracle run (dedup_containment's 150k-doc join reached 102 GB RSS).
+    # Spilling makes big oracles slow instead of dead — correctness
+    # evidence, not a benchmark.
+    mem = os.environ.get("GS_ORACLE_DUCK_MEM", "40GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/gs_duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -90,7 +98,6 @@ def main() -> int:
     from gibbon_spark.session import get_spark
 
     spark = get_spark("oracle_check")
-    con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
@@ -109,10 +116,22 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            # fresh connection per query: a shared connection that once
+            # hit its memory limit keeps failing tiny allocations for
+            # every LATER query (observed at sf3 — one genuinely
+            # infeasible naive oracle poisoned the rest of the run);
+            # per-query connections cost milliseconds and isolate each
+            # oracle's buffer pool
+            con = duck_connection(sf_dir)
             duck_pdf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            try:
+                con.close()
+            except Exception:
+                pass
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
