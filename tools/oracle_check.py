@@ -33,7 +33,12 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # oracle run (dedup_containment's 150k-doc join reached 102 GB RSS).
     # Spilling makes big oracles slow instead of dead — correctness
     # evidence, not a benchmark.
-    mem = os.environ.get("GS_ORACLE_DUCK_MEM", "40GB")
+    # 72GB default: enough for every sf0.01/sf0.1 oracle including the
+    # banded-OR recall checks (which OOM at 40GB), while leaving ~50GB
+    # for the Spark JVM + OS (the uncapped 80%-of-RAM default reached
+    # 102GB RSS and got OOM-killed). Override to 40GB for sf3 runs
+    # where the JVM side is also large.
+    mem = os.environ.get("GS_ORACLE_DUCK_MEM", "72GB")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/gs_duck_spill'")
     for t in TABLES:
