@@ -344,3 +344,44 @@ def test_lt_property_roundtrip():
         assert _roundtrip_lt(vals) == vals
 
     run()
+
+
+# --- truncated-stream EOS contract (round-4 ADVICE) ----------------------
+# A stream cut mid-record must yield the decodable prefix then None —
+# never a TypeError from a None flowing into integer arithmetic. The
+# reference never hits this (its readers are length-framed), so this is
+# a contract of OUR BitReader/decoder pairing: decode_block callers rely
+# on None-at-EOS to terminate.
+
+
+def _truncation_sweep(encoder_cls, decoder_cls, values):
+    w = BitWriter()
+    e = encoder_cls()
+    for v in values:
+        e.push(v, w)
+    data, nbits = w.getvalue()
+    for cut in range(nbits + 1):
+        d = decoder_cls()
+        r = BitReader(data, cut)
+        got = []
+        while (x := d.next(r)) is not None:  # must not raise
+            got.append(x)
+        assert got == values[: len(got)]  # decoded prefix is exact
+    # and the untruncated stream still round-trips in the same sweep
+    d = decoder_cls()
+    r = BitReader(data, nbits)
+    got = []
+    while (x := d.next(r)) is not None:
+        got.append(x)
+    assert got == values
+
+
+def test_dbl_truncated_stream_returns_none():
+    # exercises: raw first value, repeat, reuse-window, new-window records
+    _truncation_sweep(DoubleEncoder, DoubleDecoder, [11.0, 11.0, 10.0, 10.5, -3.25])
+
+
+def test_lt_truncated_stream_returns_none():
+    _truncation_sweep(
+        DoubleEncoderLeadTrail, DoubleDecoderLeadTrail, [11.0, 11.0, 10.0, 10.5, -3.25]
+    )

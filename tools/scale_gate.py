@@ -86,11 +86,30 @@ WORK_MODEL = {
 }
 QUADRATIC_BY_CONTRACT = WORK_MODEL  # report helper iterates this
 
+# A ^2 allowance is 130x on the 10x sf0.1->sf1 step — wide enough to
+# hide a genuine plan regression inside the excused query. Secondary
+# absolute ceilings (round-4 ADVICE): measured sf3 solo times with
+# ~3x headroom; a WORK_MODEL query may scale super-linearly in DATA
+# but may never blow past what its documented work model actually
+# costs on this host. Breaching the ceiling flags even when the
+# growth-ratio gate would excuse it.
+ABS_CEILING_S = {
+    "sim_embedding_neardup_exact": {SF1: 30.0, SF3: 180.0},
+    "ts_range_join": {SF1: 30.0, SF3: 90.0},
+}
+
 
 def growth_limit(name: str, data_growth: float) -> float:
     """Per-query allowed time growth for a data-growth step."""
     exp = WORK_MODEL.get(name, (1.0, None))[0]
     return SLACK * data_growth**exp
+
+
+def over_ceiling(name: str, sf_dir: str, t: float) -> bool:
+    """Secondary absolute-time gate for WORK_MODEL queries (see
+    ABS_CEILING_S): catches a regression the wide ^2 ratio allowance
+    would excuse."""
+    return t > ABS_CEILING_S.get(name, {}).get(sf_dir, float("inf"))
 
 
 def check_schemas() -> None:
@@ -109,10 +128,9 @@ def run_once(fn, spark, sf_dir: str) -> float:
     # finished streaming memory-sink tables holding millions of rows) —
     # measured as 2-7x inflation of later sf3 runs before this existed.
     # Queries manage their own caches within a run, so clearing between
-    # runs only removes leaks, never live state.
-    for t in spark.catalog.listTables():
-        if t.name.startswith("_gs_stream_"):
-            spark.catalog.dropTempView(t.name)
+    # runs only removes leaks, never live state. (The old _gs_stream_*
+    # temp-view sweep is gone with the memory sinks — all replays write
+    # scratch parquet via _finite_replay now.)
     spark.catalog.clearCache()
     # localCheckpoint blocks (iterative queries: CC, k-means, pagerank)
     # are freed by the JVM ContextCleaner only after the Python-side
@@ -149,7 +167,8 @@ def report_only() -> int:
     super_linear_3 = sorted(
         n
         for n in t3
-        if t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n]
+        if (t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n])
+        or over_ceiling(n, SF3, t3[n])
     )
     write_report(t01, t1, t3, super_linear, super_linear_3, _oracle_summary())
     return 0
@@ -204,7 +223,7 @@ def main() -> int:
         return (
             t1[name] > ABS_FLOOR_S
             and t1[name] > growth_limit(name, GROWTH_01_TO_1) * t01[name]
-        )
+        ) or over_ceiling(name, SF1, t1[name])
 
     # confirm pass: re-measure both points of any flagged ratio, keep min
     for name in [n for n in qs if flagged(n)]:
@@ -227,7 +246,8 @@ def main() -> int:
     super_linear_3 = sorted(
         n
         for n in t3
-        if t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n]
+        if (t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n])
+        or over_ceiling(n, SF3, t3[n])
     )
 
     # subset runs MERGE into the standing timings file (so a post-fix
@@ -246,13 +266,15 @@ def main() -> int:
             n
             for n in t1
             if n in t01
-            and t1[n] > ABS_FLOOR_S
-            and t1[n] > growth_limit(n, GROWTH_01_TO_1) * t01[n]
+            and ((t1[n] > ABS_FLOOR_S
+                  and t1[n] > growth_limit(n, GROWTH_01_TO_1) * t01[n])
+                 or over_ceiling(n, SF1, t1[n]))
         )
         super_linear_3 = sorted(
             n
             for n in t3
-            if t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n]
+            if (t3[n] > ABS_FLOOR_S and t3[n] > growth_limit(n, GROWTH_1_TO_3) * t1[n])
+            or over_ceiling(n, SF3, t3[n])
         )
     with open(path, "w") as f:
         json.dump(
