@@ -23,6 +23,7 @@ import gibbon_spark.queries_round2c  # noqa: E402,F401  (round-2 batch E)
 import gibbon_spark.queries_round2d  # noqa: E402,F401  (round-2 batch F)
 import gibbon_spark.queries_round3  # noqa: E402,F401  (round-3 additions)
 import gibbon_spark.queries_round4  # noqa: E402,F401  (round-4 additions)
+import gibbon_spark.queries_round5  # noqa: E402,F401  (round-5 additions)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -385,3 +385,47 @@ def test_lt_truncated_stream_returns_none():
     _truncation_sweep(
         DoubleEncoderLeadTrail, DoubleDecoderLeadTrail, [11.0, 11.0, 10.0, 10.5, -3.25]
     )
+
+
+# --- vectorized value-only encoders: bit identity with the scalar classes
+
+
+def _vec_equiv_sweep(policy, cls):
+    import numpy as np
+
+    from gibbon_spark.codec.gorilla import decode_values, encode_values_vectorized
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(finite, min_size=1, max_size=30), min_size=1, max_size=5))
+    def run(blocks):
+        flat = [v for b in blocks for v in b]
+        is_start = []
+        for b in blocks:
+            is_start += [True] + [False] * (len(b) - 1)
+        payloads, nbits, start_idx = encode_values_vectorized(
+            np.array(flat), np.array(is_start), policy
+        )
+        assert len(payloads) == len(blocks)
+        for i, b in enumerate(blocks):
+            w = BitWriter()
+            e = cls()
+            for v in b:
+                e.push(float(v), w)
+            data, nb = w.getvalue()
+            assert payloads[i] == data and int(nbits[i]) == nb
+            assert decode_values(payloads[i], int(nbits[i]), policy) == b
+
+    run()
+
+
+def test_vectorized_values_xor_bit_identity():
+    _vec_equiv_sweep("xor", DoubleEncoder)
+
+
+def test_vectorized_values_leadtrail_bit_identity():
+    _vec_equiv_sweep("leadtrail", DoubleEncoderLeadTrail)

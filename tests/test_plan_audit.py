@@ -65,6 +65,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # month-over-month growth over the month-grain frame (one row per
     # calendar month in the data — bounded by time span, not rows)
     "orders_growth_mom": "month-grain frame",
+    # head-third threshold cumsum over the per-BUCKET histogram (one row
+    # per distinct centibit bucket, <= ~6400 possible values)
+    "text_perplexity_bigram": "centibit-bucket histogram frame",
 }
 
 
