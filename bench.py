@@ -50,6 +50,46 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # ---- host-speed calibration constant (round-4 verdict ask #5) ------
+    # A fixed synthetic workload measured alongside every bench run: a
+    # pinned 20M-row shuffle+aggregate (JVM/shuffle/codegen speed) plus a
+    # pinned numpy GEMM (Python/BLAS speed). Cross-round totals are only
+    # comparable after dividing by this constant (rule in FIXTURES.md):
+    # the r03->r04 "26% regression" was exactly such a fleet-wide host
+    # multiplier. min of 2 runs each, so a single neighbor burst can't
+    # poison the constant.
+    def _calibrate() -> float:
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        spark_s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                spark.range(0, 20_000_000, 1, 64)
+                .select(
+                    (F.col("id") % 9973).alias("k"),
+                    (F.col("id") * 2654435761 % 1000003).alias("v"),
+                )
+                .groupBy("k")
+                .agg(F.sum("v"), F.count(F.lit(1)))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            spark_s = min(spark_s, time.time() - t0)
+        rng = np.random.default_rng(12345)
+        a = rng.standard_normal((1500, 1500))
+        numpy_s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(3):
+                a = a @ a * 1e-3  # keep magnitudes bounded
+            numpy_s = min(numpy_s, time.time() - t0)
+        return round(spark_s + numpy_s, 4)
+
+    calibration_s = _calibrate()
+
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(qs.items()):
         if i % 20 == 19:
@@ -81,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_s": calibration_s,
             }
         )
     )
@@ -92,6 +133,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "calibration_s": calibration_s,
         }
     )
     assert len(summary) < 200, f"summary line grew to {len(summary)} bytes"
