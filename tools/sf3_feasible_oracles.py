@@ -1,0 +1,333 @@
+"""Feasible sf3 oracles for the six queries whose DELIBERATELY-NAIVE
+oracles exceed the container at sf3 (round-4 verdict ask #6).
+
+The registered queries themselves are scale-clean at sf3 (timed,
+flag-free — SCALE.md); only the naive DuckDB restatements blow the box
+(all-pairs joins / recursive CTE / 3-way edge join). This tool verifies
+the REGISTERED query's FULL sf3 output with restatements that are exact
+but bounded:
+
+- dedup_containment, sim_embedding_neardup, sim_embedding_neardup_exact:
+  pair membership and the pair's score depend ONLY on the two endpoint
+  rows, so the full Spark output filtered to pairs with BOTH endpoints
+  in a deterministic md5-sampled id subset must equal the naive oracle
+  run over the subsetted source table (same md5 bucket predicate in
+  SQL). Verifies the actual sf3 output rows bit-for-bit on the subset.
+- knn_graph_lsh: a vector's top-k depends on ALL candidates, so the
+  subset is asymmetric — md5-sampled QUERY vectors, FULL candidate
+  corpus (per-band hash joins instead of the naive 32-way OR join,
+  which is what exceeds the non-spillable buffer cap). Verifies the
+  sampled vectors' full-corpus neighbor lists exactly.
+- dedup_clusters_cc: FULL exact check — the naive recursive CTE is
+  replaced by Python-driven min-label propagation over the identical
+  md5-deterministic capped-LSH edge table (each round one grouped
+  join, spillable; converges in O(cluster diameter) rounds, the same
+  argument as operators.dedup.connected_components).
+- graph_triangle_count: FULL exact check — the 3-way edge join is
+  blocked on hash buckets of the first vertex (bounded intermediates
+  per block), per-vertex triangle counts accumulated across blocks.
+
+Usage: python tools/sf3_feasible_oracles.py <sf_dir> <query> [subset_pct]
+Run ONE query per process (round-4 sf3 protocol: one 48g JVM + one
+capped DuckDB per process; GS_ORACLE_DUCK_MEM=40GB for sf3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from oracle_check import compare, duck_connection  # noqa: E402
+
+SUBSET_PCT = {
+    "dedup_containment": 10,
+    "sim_embedding_neardup": 20,
+    "sim_embedding_neardup_exact": 10,
+    "knn_graph_lsh": 2,
+}
+
+
+def _pred_sql(col: str, pct: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::INTEGER "
+        f"% 100 < {pct}"
+    )
+
+
+def _in_subset(i: int, pct: int) -> bool:
+    return int(hashlib.md5(str(int(i)).encode()).hexdigest()[:4], 16) % 100 < pct
+
+
+def _subset_table_sql(sql: str, table: str, id_col: str, pct: int) -> str:
+    """Replace every `FROM <table>` with the md5-subsetted inline view —
+    exact for queries whose output rows are pairwise-determined."""
+    needle = f"FROM {table}"
+    assert needle in sql, f"oracle SQL has no '{needle}'"
+    repl = (
+        f"FROM (SELECT * FROM {table} "
+        f"WHERE {_pred_sql(id_col, pct)}) {table}"
+    )
+    return sql.replace(needle, repl)
+
+
+def _spark_result(name: str, sf_dir: str) -> pd.DataFrame:
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name](entrymod_spark(), sf_dir).toPandas()
+
+
+_SPARK = None
+
+
+def entrymod_spark():
+    global _SPARK
+    if _SPARK is None:
+        from gibbon_spark.session import get_spark
+
+        _SPARK = get_spark("sf3_feasible_oracles")
+    return _SPARK
+
+
+def _report(name: str, tag: str, problems: list[str], n: int, t0: float) -> int:
+    dt = time.time() - t0
+    if problems:
+        print(f"FAIL {name} [{tag}] ({n} rows, {dt:.1f}s)")
+        for p in problems:
+            print(f"     {p}")
+        return 1
+    print(f"PASS {name} [{tag}] ({n} rows, {dt:.1f}s)")
+    return 0
+
+
+def check_pairwise_subset(name: str, sf_dir: str, pct: int) -> int:
+    """containment / neardup / neardup_exact: full Spark run, subset
+    compare (both endpoints sampled)."""
+    import __spark_entry__ as entrymod
+
+    t0 = time.time()
+    spark_pdf = _spark_result(name, sf_dir)
+    a_col, b_col = {
+        "dedup_containment": ("id_contained", "id_container"),
+        "sim_embedding_neardup": ("id_a", "id_b"),
+        "sim_embedding_neardup_exact": ("id_a", "id_b"),
+    }[name]
+    keep = (
+        spark_pdf[a_col].map(lambda i: _in_subset(i, pct))
+        & spark_pdf[b_col].map(lambda i: _in_subset(i, pct))
+    ).astype(bool)  # empty frames map to object dtype -> column selection
+    spark_sub = spark_pdf[keep].reset_index(drop=True)
+
+    table, id_col = (
+        ("documents", "doc_id")
+        if name == "dedup_containment"
+        else ("embeddings", "vec_id")
+    )
+    sql = _subset_table_sql(entrymod.oracle_sql()[name], table, id_col, pct)
+    con = duck_connection(sf_dir)
+    duck_pdf = con.execute(sql).fetchdf()
+    con.close()
+    return _report(
+        name,
+        f"both-endpoints md5 subset {pct}%",
+        compare(name, spark_sub, duck_pdf),
+        len(spark_sub),
+        t0,
+    )
+
+
+def check_knn_subset(name: str, sf_dir: str, pct: int) -> int:
+    """knn_graph_lsh: sampled query vectors vs the FULL candidate
+    corpus; per-band hash joins replace the naive 32-way OR join."""
+    from gibbon_spark.operators import similarity
+    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_band_exprs
+
+    t0 = time.time()
+    spark_pdf = _spark_result(name, sf_dir)
+    keep = spark_pdf["src"].map(lambda i: _in_subset(i, pct)).astype(bool)
+    spark_sub = spark_pdf[keep].reset_index(drop=True)
+
+    band_cols = ", ".join(
+        f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs())
+    )
+    n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
+    pred_a = _pred_sql("a.vec_id", pct)
+    pred_b = _pred_sql("b.vec_id", pct)
+    per_band = "\n      UNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM bk a JOIN bk b ON a.band_{b} = b.band_{b} "
+        f"AND a.vec_id < b.vec_id WHERE ({pred_a}) OR ({pred_b})"
+        for b in range(n_bands)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
+    cand AS ({per_band}),
+    sym AS (
+      SELECT id_a AS src, id_b AS nbr FROM cand
+        WHERE {_pred_sql('id_a', pct)}
+      UNION ALL
+      SELECT id_b AS src, id_a AS nbr FROM cand
+        WHERE {_pred_sql('id_b', pct)}
+    ),
+    scored AS (
+      SELECT s.src, s.nbr, {_COSINE_SQL} AS cosine_sim
+      FROM sym s JOIN e a ON s.src = a.vec_id JOIN e b ON s.nbr = b.vec_id
+    )
+    SELECT src, nbr, cosine_sim, rank FROM (
+      SELECT src, nbr, cosine_sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine_sim DESC, nbr) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+    con = duck_connection(sf_dir)
+    duck_pdf = con.execute(sql).fetchdf()
+    con.close()
+    return _report(
+        name,
+        f"src md5 subset {pct}%, FULL candidate corpus",
+        compare(name, spark_sub, duck_pdf),
+        len(spark_sub),
+        t0,
+    )
+
+
+def check_cc_full(sf_dir: str) -> int:
+    """dedup_clusters_cc: FULL exact via iterative min-label propagation
+    over the identical capped-LSH edge set."""
+    from gibbon_spark.queries_llm import _minhash_oracle_sql
+
+    t0 = time.time()
+    spark_pdf = _spark_result("dedup_clusters_cc", sf_dir)
+
+    con = duck_connection(sf_dir)
+    con.execute(
+        f"CREATE TEMP TABLE pairs AS {_minhash_oracle_sql()}"
+    )
+    con.execute(
+        "CREATE TEMP TABLE edges AS "
+        "SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs"
+    )
+    con.execute(
+        "CREATE TEMP TABLE lab AS "
+        "SELECT DISTINCT a AS node, a AS label FROM edges"
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        assert rounds <= 200, "label propagation failed to converge"
+        con.execute(
+            "CREATE TEMP TABLE lab2 AS "
+            "SELECT node, min(label) AS label FROM ("
+            "  SELECT node, label FROM lab"
+            "  UNION ALL"
+            "  SELECT e.b AS node, lab.label FROM lab"
+            "  JOIN edges e ON e.a = lab.node"
+            ") GROUP BY node"
+        )
+        changed = con.execute(
+            "SELECT count(*) FROM lab2 JOIN lab USING (node) "
+            "WHERE lab2.label <> lab.label"
+        ).fetchone()[0]
+        con.execute("DROP TABLE lab")
+        con.execute("ALTER TABLE lab2 RENAME TO lab")
+        if changed == 0:
+            break
+    duck_pdf = con.execute(
+        "SELECT label AS component, count(*) AS n_members, "
+        "max(node) AS max_member FROM lab GROUP BY label ORDER BY component"
+    ).fetchdf()
+    con.close()
+    return _report(
+        "dedup_clusters_cc",
+        f"FULL, iterative label propagation ({rounds} rounds)",
+        compare("dedup_clusters_cc", spark_pdf, duck_pdf),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def check_triangles_full(sf_dir: str, n_blocks: int = 16) -> int:
+    """graph_triangle_count: FULL exact via blocked 3-way edge join."""
+    t0 = time.time()
+    spark_pdf = _spark_result("graph_triangle_count", sf_dir)
+
+    con = duck_connection(sf_dir)
+    con.execute(
+        """
+        CREATE TEMP TABLE t_edges AS
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+        )
+        SELECT a.part AS pa, b.part AS pb
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        """
+    )
+    con.execute("CREATE TEMP TABLE triv (v BIGINT, c BIGINT)")
+    n_tri = 0
+    for k in range(n_blocks):
+        con.execute(
+            f"""
+            INSERT INTO triv
+            SELECT v, count(*) FROM (
+              SELECT u.v FROM (
+                SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+                FROM t_edges e1
+                JOIN t_edges e2 ON e1.pb = e2.pa
+                JOIN t_edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+                WHERE e1.pa % {n_blocks} = {k}
+              ) t, (VALUES (1), (2), (3)) role(r),
+              LATERAL (SELECT CASE role.r WHEN 1 THEN t.a
+                                          WHEN 2 THEN t.b
+                                          ELSE t.c END AS v) u
+            ) GROUP BY v
+            """
+        )
+    agg = con.execute(
+        """
+        WITH pv AS (SELECT v, sum(c) AS n FROM triv GROUP BY v)
+        SELECT CAST((SELECT count(*) FROM t_edges) AS BIGINT) AS n_edges,
+               CAST((SELECT coalesce(sum(n), 0) / 3 FROM pv) AS BIGINT)
+                 AS n_triangles,
+               CAST((SELECT count(*) FROM pv) AS BIGINT)
+                 AS n_vertices_in_triangles,
+               CAST((SELECT coalesce(max(n), 0) FROM pv) AS BIGINT)
+                 AS max_per_vertex
+        """
+    ).fetchdf()
+    con.close()
+    return _report(
+        "graph_triangle_count",
+        f"FULL, blocked 3-way join ({n_blocks} blocks)",
+        compare("graph_triangle_count", spark_pdf, agg),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1]
+    name = sys.argv[2]
+    if name == "dedup_clusters_cc":
+        return check_cc_full(sf_dir)
+    if name == "graph_triangle_count":
+        return check_triangles_full(sf_dir)
+    pct = int(sys.argv[3]) if len(sys.argv) > 3 else SUBSET_PCT[name]
+    if name == "knn_graph_lsh":
+        return check_knn_subset(name, sf_dir, pct)
+    return check_pairwise_subset(name, sf_dir, pct)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
