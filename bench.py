@@ -58,7 +58,7 @@ def main() -> None:
     # the r03->r04 "26% regression" was exactly such a fleet-wide host
     # multiplier. min of 2 runs each, so a single neighbor burst can't
     # poison the constant.
-    def _calibrate() -> float:
+    def _calibrate() -> tuple[float, float, float]:
         import numpy as np
         from pyspark.sql import functions as F
 
@@ -86,9 +86,30 @@ def main() -> None:
             for _ in range(3):
                 a = a @ a * 1e-3  # keep magnitudes bounded
             numpy_s = min(numpy_s, time.time() - t0)
-        return round(spark_s + numpy_s, 4)
+        # components reported separately too: the r6 verdict observed the
+        # GEMM saturates differently from the shuffle under neighbor
+        # load, so a combined constant can over/under-correct — exposing
+        # both lets the analysis pick the probe that matches the
+        # workload being normalized
+        return round(spark_s + numpy_s, 4), round(spark_s, 4), round(numpy_s, 4)
 
-    calibration_s = _calibrate()
+    calibration_s, calibration_shuffle_s, calibration_numpy_s = _calibrate()
+
+    # previous run's per-query detail for the normalized-regression
+    # flags (FIXTURES.md §5). The driver's BENCH_r*.json keeps only a
+    # truncated stdout tail, so bench.py persists its own full detail
+    # (BENCH_DETAIL.json, committed per round) and reads it back here.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    prev_queries: dict[str, float] = {}
+    prev_cal = None
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if isinstance(prev.get("queries"), dict) and prev.get("calibration_s"):
+            prev_queries = prev["queries"]
+            prev_cal = float(prev["calibration_s"])
+    except Exception:  # noqa: BLE001 — normalization context is best-effort
+        pass
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(qs.items()):
@@ -113,18 +134,37 @@ def main() -> None:
         timings[name] = min(timings[name], round(time.time() - t0, 4))
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration_s": calibration_s,
-            }
-        )
-    )
+    normalized_total = round(total / calibration_s, 2)
+
+    # per-query normalized-regression flags: a query regressed if its
+    # host-normalized time grew >1.3x vs the previous persisted run
+    regressed: dict[str, float] = {}
+    if prev_queries and prev_cal:
+        for name, t in timings.items():
+            pt = prev_queries.get(name)
+            if pt and pt > 0:
+                ratio = (t / calibration_s) / (pt / prev_cal)
+                if ratio > 1.3 and t > 0.5:  # ignore sub-noise absolute times
+                    regressed[name] = round(ratio, 2)
+
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_s": calibration_s,
+        "calibration_shuffle_s": calibration_shuffle_s,
+        "calibration_numpy_s": calibration_numpy_s,
+        "normalized_total": normalized_total,
+        "regressed": regressed,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f)
+    except Exception:  # noqa: BLE001 — persistence is best-effort
+        pass
     # final SMALL line (driver-parseable under tail truncation)
     summary = json.dumps(
         {
@@ -134,9 +174,11 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "calibration_s": calibration_s,
+            "normalized_total": normalized_total,
+            "n_regressed": len(regressed),
         }
     )
-    assert len(summary) < 200, f"summary line grew to {len(summary)} bytes"
+    assert len(summary) < 300, f"summary line grew to {len(summary)} bytes"
     print(summary)
 
 

@@ -2005,8 +2005,8 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_status",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -3649,8 +3649,8 @@ def q_agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            max(gap) AS max_gap_s,
-           sum(CASE WHEN gap > 120 THEN 1 ELSE 0 END) AS n_outages,
-           sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END) AS downtime_s,
+           CAST(sum(CASE WHEN gap > 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+           CAST(sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END) AS BIGINT) AS downtime_s,
            round(1.0 - (CAST(sum(CASE WHEN gap > 120 THEN gap - 120 ELSE 0 END)
                              AS DOUBLE)
                         / nullif(date_diff('second', min(ts), max(ts)), 0))
@@ -3951,9 +3951,9 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_rows,
            count(p) AS n_nonnull_p,
-           sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_null_p,
-           sum(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
-             AS n_null_safe_eq,
+           CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_p,
+           CAST(sum(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null_safe_eq,
            count(DISTINCT pr) AS n_distinct_pr,
            round(CAST(sum(CAST(round((p) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(p) + 1e-9, 6) AS avg_skipnull,
            round(CAST(sum(CAST(round(coalesce(p, 0) + 1e-9, 4)
@@ -4001,10 +4001,10 @@ def q_null_semantics_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           sum(CASE WHEN prev <= 150 AND value > 150 THEN 1 ELSE 0 END)
-             AS n_up_crossings,
-           sum(CASE WHEN prev > 150 AND value <= 150 THEN 1 ELSE 0 END)
-             AS n_down_crossings,
+           CAST(sum(CASE WHEN prev <= 150 AND value > 150 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_up_crossings,
+           CAST(sum(CASE WHEN prev > 150 AND value <= 150 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_down_crossings,
            min(CASE WHEN prev <= 150 AND value > 150 THEN ts END)
              AS first_breach_ts
     FROM d GROUP BY user_id

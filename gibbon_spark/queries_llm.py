@@ -661,7 +661,7 @@ def q_sim_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'text' AS modality,
            count(*) AS n_items,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(octet_length(encode(text))) AS min_bytes,
            max(octet_length(encode(text))) AS max_bytes
     FROM documents
@@ -2138,8 +2138,8 @@ _PACK_BUDGET = 512
                - n_tok AS start_off
       FROM t
     )
-    SELECT lang, start_off // {_PACK_BUDGET} AS chunk_id,
-           count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+    SELECT lang, CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
            min(doc_id) AS first_doc
     FROM c GROUP BY lang, chunk_id
     """,

@@ -1252,7 +1252,9 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM quota1
     ),
     q2 AS (
-      SELECT source, n_pool, w, (w * n_mix) // w_sum AS k_quota FROM quota
+      SELECT source, n_pool, w,
+             CAST((w * n_mix) // w_sum AS BIGINT) AS k_quota
+      FROM quota
     ),
     ranked AS (
       SELECT d.source, d.doc_id,
@@ -1341,7 +1343,7 @@ def q_sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_segments,
-           sum(dt) AS covered_s,
+           CAST(sum(dt) AS BIGINT) AS covered_s,
            round(CAST(sum(v4 * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
                  + 1e-9, 6) AS twa
     FROM seg

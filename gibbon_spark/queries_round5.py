@@ -40,8 +40,8 @@ def _series_codec_stats(events: DataFrame, verify: bool) -> DataFrame:
     buckets so the Python callback fires per BUCKET (64 calls), not per
     series — inside, `encode_values_vectorized` encodes every series of
     the bucket in one numpy pass (cogroup-per-key callbacks were
-    measured ~35x slower on entity-granularity keys; see
-    .claude/skills/verify). One shuffle on the bucket key; buckets stay
+    measured ~35x slower on entity-granularity keys — see the bucket-vs-
+    cogroup note in docs/). One shuffle on the bucket key; buckets stay
     O(rows/64) regardless of series count, so 100 TB = more buckets via
     the constant, never a big task."""
     import pandas as pd

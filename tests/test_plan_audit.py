@@ -35,6 +35,10 @@ ALLOWED_NESTED_LOOP = {
     # two 1-row aggregate frames cross-joined — O(1)
     "events_attribution_linear",
     "orders_seasonal_anomaly",
+    # two 1-row scalar frames (corpus bigram count + head-third
+    # threshold) broadcast onto the doc frame — O(1) fan-out, same
+    # shape as events_attribution_linear
+    "text_perplexity_bigram",
 }
 
 # Partition-less ORDERED windows funnel their whole frame through one

@@ -89,6 +89,9 @@ ALLOWED_NESTED_LOOP = {
     "events_attribution_linear",
     # 1-row global-mean broadcast onto the ~100-row month frame — O(1)
     "orders_seasonal_anomaly",
+    # two 1-row scalar frames (corpus bigram count + head-third
+    # threshold) broadcast onto the doc frame — O(1) fan-out
+    "text_perplexity_bigram",
 }
 
 def load_global_window_allowlist() -> dict[str, str]:

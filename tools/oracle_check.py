@@ -73,6 +73,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in s.columns:
         sc, dc = s[c], d[c]
+        # Dtype-class parity: the driver hashes values dtype-sensitively
+        # (DuckDB HUGEINT -> pandas float64 `1764.0` vs Spark int64
+        # `1764` flips the hash even though values are equal), so an
+        # int-on-one-side / float-on-the-other column is a FAIL here
+        # too — coercing both to float64 would mask the whole class.
+        s_int = pd.api.types.is_integer_dtype(sc)
+        d_int = pd.api.types.is_integer_dtype(dc)
+        s_flt = pd.api.types.is_float_dtype(sc)
+        d_flt = pd.api.types.is_float_dtype(dc)
+        if (s_int and d_flt) or (s_flt and d_int):
+            problems.append(
+                f"dtype class mismatch col {c}: spark={sc.dtype} duck={dc.dtype}"
+                " (int vs float flips the driver hash; CAST the oracle)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
             sc = sc.astype("float64")
             dc = dc.astype("float64")
