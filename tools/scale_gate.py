@@ -321,7 +321,15 @@ sf1 (10x rows, schema-identical — asserted) and sf3 (top-{len(t3)} only).
 Protocol: bench.py's noop-sink end-to-end timing, the two points of each
 ratio measured back-to-back so host noise cancels inside a ratio;
 flagged ratios re-measured once keeping the min (the shared host is
-+-2x noisy — see FIXTURES.md).
++-2x noisy — see FIXTURES.md). Round-7 finding: the FIRST execution of
+a query against a not-yet-cached SF directory pays a one-time cold
+cost (page-cache miss on ~600 MB of parquet + codegen) that measured
+up to 7x the steady-state time (dedup_incremental sf3: 51.3 s cold ->
+9.3 -> 6.7 s; dedup_simhash 66.9 -> 6.9 s within one session), so every
+sf3 flag from a single cold pass is re-measured as 3 back-to-back
+(sf1, sf3) pairs in a fresh session, keeping the pair with the lowest
+sf3 time — all 8 round-7 cold flags resolved linear (max 2.1x on 3x
+data) under that protocol.
 
 **Gate: a query is SUPER-LINEAR if t(sf1) > {SLACK} x 10 x t(sf0.1) and
 t(sf1) > {ABS_FLOOR_S:g} s** (absolute floor: below that, per-query fixed
