@@ -58,60 +58,14 @@ def pick_targets(timings: dict) -> list[str]:
     return out
 
 
-def main() -> int:
-    path = os.path.join(REPO, "SCALE_TIMINGS.json")
-    with open(path) as f:
-        timings = json.load(f)
-    only = sys.argv[1:]
-    targets = only or pick_targets(timings)
-    if not os.path.isdir(SF10):
-        print("scaledata/sf10 missing — run: python tools/gen_scale_data.py 10")
-        return 2
+def _flagged(n: str, t3: dict, t10: dict) -> bool:
+    return t10[n] > ABS_FLOOR_S and t10[n] > growth_limit(
+        n, GROWTH_3_TO_10
+    ) * t3[n]
 
-    import __spark_entry__ as entrymod
-    from gibbon_spark.session import get_spark
 
-    spark = get_spark("sf10_octave")
-    qs = entrymod.queries()
-
-    # warm JVM + Arrow worker pool (bench protocol)
-    qs["ts_summary"](spark, SF3).write.format("noop").mode("overwrite").save()
-
-    def _identity(batches):
-        yield from batches
-
-    spark.range(0, 64, 1, 64).mapInPandas(_identity, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-
-    t3: dict[str, float] = {}
-    t10: dict[str, float] = {}
-    for name in targets:
-        spark.sparkContext._jvm.System.gc()
-        t3[name] = run_once(qs[name], spark, SF3)
-        t10[name] = run_once(qs[name], spark, SF10)
-        print(f"{name}: sf3={t3[name]}s sf10={t10[name]}s "
-              f"({t10[name]/max(t3[name],1e-9):.1f}x on 3.33x data)")
-
-    def flagged(n: str) -> bool:
-        return t10[n] > ABS_FLOOR_S and t10[n] > growth_limit(
-            n, GROWTH_3_TO_10
-        ) * t3[n]
-
-    flags = sorted(n for n in targets if flagged(n))
-    # confirm pass: re-measure both points, keep min
-    for name in list(flags):
-        print(f"re-measuring flagged {name} ...")
-        spark.sparkContext._jvm.System.gc()
-        t3[name] = min(t3[name], run_once(qs[name], spark, SF3))
-        t10[name] = min(t10[name], run_once(qs[name], spark, SF10))
-    flags = sorted(n for n in targets if flagged(n))
-
-    timings.setdefault("sf10", {}).update(t10)
-    timings.setdefault("sf3_at_octave", {}).update(t3)
-    with open(path, "w") as f:
-        json.dump(timings, f, indent=1, sort_keys=True)
-
+def _write_section(targets: list[str], t3: dict, t10: dict) -> None:
+    flags = sorted(n for n in targets if _flagged(n, t3, t10))
     rows = []
     for name in sorted(targets, key=lambda n: -t10[n]):
         ratio = t10[name] / t3[name] if t3[name] > 0 else float("inf")
@@ -148,7 +102,64 @@ past 11x.
         md = md.rstrip() + "\n\n" + section
     with open(md_path, "w") as f:
         f.write(md)
-    print(f"\n{len(flags)} super-linear at sf10 of {len(targets)}")
+    print(f"{len(flags)} super-linear at sf10 of {len(targets)}")
+
+
+def main() -> int:
+    path = os.path.join(REPO, "SCALE_TIMINGS.json")
+    with open(path) as f:
+        timings = json.load(f)
+    only = sys.argv[1:]
+    if only == ["--report-only"]:
+        t10 = timings["sf10"]
+        t3 = timings["sf3_at_octave"]
+        _write_section(sorted(t10), t3, t10)
+        return 0
+    targets = only or pick_targets(timings)
+    if not os.path.isdir(SF10):
+        print("scaledata/sf10 missing — run: python tools/gen_scale_data.py 10")
+        return 2
+
+    import __spark_entry__ as entrymod
+    from gibbon_spark.session import get_spark
+
+    spark = get_spark("sf10_octave")
+    qs = entrymod.queries()
+
+    # warm JVM + Arrow worker pool (bench protocol)
+    qs["ts_summary"](spark, SF3).write.format("noop").mode("overwrite").save()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    t3: dict[str, float] = {}
+    t10: dict[str, float] = {}
+    for name in targets:
+        spark.sparkContext._jvm.System.gc()
+        t3[name] = run_once(qs[name], spark, SF3)
+        t10[name] = run_once(qs[name], spark, SF10)
+        print(f"{name}: sf3={t3[name]}s sf10={t10[name]}s "
+              f"({t10[name]/max(t3[name],1e-9):.1f}x on 3.33x data)")
+
+    flags = sorted(n for n in targets if _flagged(n, t3, t10))
+    # confirm pass: re-measure both points, keep min
+    for name in list(flags):
+        print(f"re-measuring flagged {name} ...")
+        spark.sparkContext._jvm.System.gc()
+        t3[name] = min(t3[name], run_once(qs[name], spark, SF3))
+        t10[name] = min(t10[name], run_once(qs[name], spark, SF10))
+    flags = sorted(n for n in targets if _flagged(n, t3, t10))
+
+    timings.setdefault("sf10", {}).update(t10)
+    timings.setdefault("sf3_at_octave", {}).update(t3)
+    with open(path, "w") as f:
+        json.dump(timings, f, indent=1, sort_keys=True)
+
+    _write_section(targets, t3, t10)
     return 1 if flags else 0
 
 
