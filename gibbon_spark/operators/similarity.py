@@ -137,6 +137,7 @@ def pairwise_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     num_blocks: int = 8,
+    chunk: int = 2048,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via blocked GEMM.
 
@@ -181,7 +182,6 @@ def pairwise_cosine_pairs(
         # at chunk x n_q (~120 MB) with identical output: each chunk is
         # thresholded immediately (boolean mask scan, no index
         # materialization for the non-matches).
-        chunk = 2048
         p, q = key
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
@@ -207,7 +207,11 @@ def pairwise_cosine_pairs(
                 ia, ib = ia[keep], ib[keep]
             else:
                 ia, ib = np.nonzero(mask)
-            out_a.append(ids_a_all[i0 + ia] if p == q else ids_a_all[ia])
+            # ia is CHUNK-LOCAL — always offset by i0 (round-7 fix: the
+            # p!=q branch forgot the offset, mislabeling id_a whenever a
+            # block side exceeded one chunk, i.e. >2048*num_blocks rows;
+            # caught by the sf3 subset oracle, invisible at sf<=0.1)
+            out_a.append(ids_a_all[i0 + ia])
             out_b.append(ids_b_all[ib])
             out_v.append(sims[ia, ib])
         id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)

@@ -71,6 +71,39 @@ def test_neardup_threshold(spark, embeddings):
     assert all(r.id_a < r.id_b for r in out)
 
 
+def test_pairwise_cosine_multi_chunk_ids_exact(spark, embeddings):
+    """Regression (round 7): with a block side larger than one GEMM row
+    chunk, the p!=q branch emitted chunk-LOCAL a-indices without the
+    chunk offset, mislabeling id_a for every match beyond the first
+    chunk — invisible at sf<=0.1 (blocks fit one 2048-row chunk), caught
+    by the sf3 subset oracle (5.7k wrong pairs of 9.1k). Force many
+    chunks with chunk=16 and verify every (id_a, id_b, cosine) triple
+    against numpy brute force."""
+    import numpy as np
+
+    pdf = embeddings.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    mask = sims[iu, ju] >= 0.3 - 1e-9
+    lo = np.minimum(ids[iu[mask]], ids[ju[mask]])
+    hi = np.maximum(ids[iu[mask]], ids[ju[mask]])
+    expected = {
+        (int(a), int(b)): float(s)
+        for a, b, s in zip(lo, hi, sims[iu[mask], ju[mask]])
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.pairwise_cosine_pairs(
+            embeddings, threshold=0.3, num_blocks=4, chunk=16
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    assert all(abs(got[p] - expected[p]) < 1e-6 for p in got)
+
+
 def test_lsh_neardup_subset_of_exact(spark, embeddings):
     """LSH-candidate near-dup must be a SUBSET of the exact all-pairs
     result (rerank is exact, candidates can only miss, never invent),

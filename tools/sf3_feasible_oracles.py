@@ -145,31 +145,66 @@ def check_pairwise_subset(name: str, sf_dir: str, pct: int) -> int:
 
 def check_knn_subset(name: str, sf_dir: str, pct: int) -> int:
     """knn_graph_lsh: sampled query vectors vs the FULL candidate
-    corpus; per-band hash joins replace the naive 32-way OR join."""
+    corpus; per-band hash joins replace the naive 32-way OR join.
+
+    Two-phase option (GS_SF3_PHASE): at sf3 the Spark JVM (grown to
+    tens of GB by the graph build) plus DuckDB's hash-join build exceed
+    the box even with a 56GB duck cap — run `GS_SF3_PHASE=spark` (saves
+    the subsetted Spark result to /tmp/gs_knn_spark.parquet and exits,
+    freeing the JVM) then `GS_SF3_PHASE=duck` (duck-only process with
+    the whole box for the oracle)."""
     from gibbon_spark.operators import similarity
-    from gibbon_spark.queries_llm import _COSINE_SQL, _lsh_band_exprs
+    from gibbon_spark.queries_llm import _COSINE_SQL
 
+    phase = os.environ.get("GS_SF3_PHASE", "")
+    cache = "/tmp/gs_knn_spark.parquet"
     t0 = time.time()
-    spark_pdf = _spark_result(name, sf_dir)
-    keep = spark_pdf["src"].map(lambda i: _in_subset(i, pct)).astype(bool)
-    spark_sub = spark_pdf[keep].reset_index(drop=True)
+    if phase == "duck":
+        spark_sub = pd.read_parquet(cache)
+    else:
+        spark_pdf = _spark_result(name, sf_dir)
+        keep = spark_pdf["src"].map(lambda i: _in_subset(i, pct)).astype(bool)
+        spark_sub = spark_pdf[keep].reset_index(drop=True)
+        if phase == "spark":
+            spark_sub.to_parquet(cache)
+            print(f"spark phase done: {len(spark_sub)} rows -> {cache} "
+                  f"({time.time()-t0:.1f}s)")
+            return 0
 
-    band_cols = ", ".join(
-        f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs())
+    # Planes as a TABLE + list_dot_product, not inline ±v[1]±...±v[64]
+    # chains: the expression form (512 planes x 64 terms = 32k-node
+    # trees from _lsh_band_exprs) OOM-killed DuckDB at sf3 even with a
+    # 90 GB cap and no JVM present, while the relational form streams.
+    # Long-form banding also folds the 32-way UNION into ONE join with
+    # band_idx in the key — identical candidate set.
+    band_bits = similarity.NEARDUP_BAND_BITS
+    signs = similarity.plane_signs(similarity.NEARDUP_PLANES, 64)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(float(w)) for w in signs[p])}]::DOUBLE[])"
+        for p in range(similarity.NEARDUP_PLANES)
     )
-    n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
     pred_a = _pred_sql("a.vec_id", pct)
     pred_b = _pred_sql("b.vec_id", pct)
-    per_band = "\n      UNION\n".join(
-        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-        f"FROM bk a JOIN bk b ON a.band_{b} = b.band_{b} "
-        f"AND a.vec_id < b.vec_id WHERE ({pred_a}) OR ({pred_b})"
-        for b in range(n_bands)
-    )
     sql = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
-    cand AS ({per_band}),
+    planes(plane_id, w) AS (VALUES {plane_rows}),
+    dots AS (
+      SELECT e.vec_id, p.plane_id // {band_bits} AS band_idx,
+             CASE WHEN list_dot_product(e.v, p.w) >= 0
+                  THEN (1 << (p.plane_id % {band_bits})) ELSE 0 END AS bit
+      FROM e, planes p
+    ),
+    bands AS MATERIALIZED (
+      SELECT vec_id, band_idx, CAST(sum(bit) AS BIGINT) AS band_val
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        AND a.vec_id < b.vec_id
+      WHERE ({pred_a}) OR ({pred_b})
+    ),
     sym AS (
       SELECT id_a AS src, id_b AS nbr FROM cand
         WHERE {_pred_sql('id_a', pct)}
