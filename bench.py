@@ -105,7 +105,15 @@ def main() -> None:
     try:
         with open(detail_path) as f:
             prev = json.load(f)
-        if isinstance(prev.get("queries"), dict) and prev.get("calibration_s"):
+        # only compare against a baseline taken at the SAME scale factor:
+        # a smoke run at another sf would otherwise produce bogus
+        # regression ratios (and, below, overwrite the committed sf0.1
+        # baseline, poisoning the next round's comparison)
+        if (
+            isinstance(prev.get("queries"), dict)
+            and prev.get("calibration_s")
+            and prev.get("sf") == sf
+        ):
             prev_queries = prev["queries"]
             prev_cal = float(prev["calibration_s"])
     except Exception:  # noqa: BLE001 — normalization context is best-effort
@@ -160,6 +168,12 @@ def main() -> None:
         "regressed": regressed,
     }
     print(json.dumps(detail))
+    # detail files are keyed by sf: only a run at the canonical bench sf
+    # (0.1) may update the committed BENCH_DETAIL.json baseline; runs at
+    # other scale factors persist to a sibling file instead of clobbering
+    # the cross-round regression baseline
+    if sf != 0.1:
+        detail_path = os.path.join(REPO, f"BENCH_DETAIL_sf{sf}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f)

@@ -41,7 +41,8 @@ def _series_codec_stats(events: DataFrame, verify: bool) -> DataFrame:
     series — inside, `encode_values_vectorized` encodes every series of
     the bucket in one numpy pass (cogroup-per-key callbacks were
     measured ~35x slower on entity-granularity keys — see the bucket-vs-
-    cogroup note in docs/). One shuffle on the bucket key; buckets stay
+    cogroup note in docs/API.md §"Deploying at 100 TB"). One shuffle on
+    the bucket key; buckets stay
     O(rows/64) regardless of series count, so 100 TB = more buckets via
     the constant, never a big task."""
     import pandas as pd

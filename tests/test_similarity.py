@@ -87,7 +87,11 @@ def test_pairwise_cosine_multi_chunk_ids_exact(spark, embeddings):
     unit = mat / np.linalg.norm(mat, axis=1)[:, None]
     sims = unit @ unit.T
     iu, ju = np.triu_indices(len(ids), k=1)
-    mask = sims[iu, ju] >= 0.3 - 1e-9
+    # the operator rounds cosine to 6 dp BEFORE the >= threshold filter
+    # (documented boundary semantics); build the expected set under the
+    # same round-then-compare rule so a pair with raw sim in
+    # [0.2999995, 0.3) can't appear on one side only
+    mask = np.round(sims[iu, ju], 6) >= 0.3
     lo = np.minimum(ids[iu[mask]], ids[ju[mask]])
     hi = np.maximum(ids[iu[mask]], ids[ju[mask]])
     expected = {

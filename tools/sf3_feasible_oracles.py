@@ -157,9 +157,20 @@ def check_knn_subset(name: str, sf_dir: str, pct: int) -> int:
     from gibbon_spark.queries_llm import _COSINE_SQL
 
     phase = os.environ.get("GS_SF3_PHASE", "")
-    cache = "/tmp/gs_knn_spark.parquet"
+    # cache name embeds the run's provenance (sf_dir + subset pct) so the
+    # duck phase cannot silently validate a stale cache from an earlier
+    # round, another sf_dir, or a different pct — that would be a false
+    # PASS/FAIL masquerading as scale evidence
+    tag = f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_pct{pct}"
+    cache = f"/tmp/gs_knn_spark_{tag}.parquet"
     t0 = time.time()
     if phase == "duck":
+        if not os.path.exists(cache):
+            print(
+                f"FAIL {name}: duck phase found no cache for {tag} at {cache} "
+                "— run GS_SF3_PHASE=spark first with the same sf_dir/pct"
+            )
+            return 1
         spark_sub = pd.read_parquet(cache)
     else:
         spark_pdf = _spark_result(name, sf_dir)
