@@ -211,6 +211,7 @@ def with_value_xor(
     ts: str = "ts",
     value: str = "value",
     tiebreak: Sequence[str] = (),
+    first_raw: bool = False,
 ) -> DataFrame:
     """xor = bits(value) XOR bits(lag(value)) — the double codec's core
     (``double_stream.rs:42``).
@@ -220,27 +221,39 @@ def with_value_xor(
     Arrow-vectorized ``double_bits`` pandas UDF (numpy zero-copy view) —
     the sanctioned slow path (SURVEY.md §4.3). The XOR, lag window and
     leading-zero math all stay JVM-side.
+
+    ``first_raw=True`` emits the raw IEEE-754 bits for the first record
+    of each series instead of NULL — exactly what the codec stores for
+    it (``time_and_value_stream.rs:20-23`` writes the first value
+    uncompressed), and what keeps the column non-nullable int64 for the
+    oracle's dtype parity.
     """
     from gibbon_spark.functions.bits import double_bits
 
     w = _series_window(series, ts, *tiebreak)
     bits = double_bits(F.col(value))
     out = df.withColumn("_bits", bits)
+    xor = F.col("_bits").bitwiseXOR(F.lag("_bits").over(w))
+    if first_raw:
+        xor = F.coalesce(xor, F.col("_bits"))
     return (
-        out.withColumn("value_xor", F.col("_bits").bitwiseXOR(F.lag("_bits").over(w)))
+        out.withColumn("value_xor", xor)
         .withColumn("xor_leading_zeros", _leading_zeros64(F.col("value_xor")))
         .drop("_bits")
     )
 
 
 def _leading_zeros64(col: Column) -> Column:
-    """Leading zeros of a 64-bit pattern, JVM-side: 63 - floor(log2(x))
-    for x>0, 64 for x=0, 0 for negative (sign bit set)."""
-    as_double = col.cast("double")
+    """Leading zeros of a 64-bit pattern, JVM-side and EXACT:
+    64 - length(bin(x)) — ``bin`` of a positive int64 has no leading
+    zeros and ``bin`` of a negative one is the full 64-char two's
+    complement, so the same expression covers both (negative → 0).
+    (The previous 63 - floor(log2(double(x))) form was off by one for
+    x within half-ULP below a power of two ≥ 2^53 — e.g. 2^63 - 1
+    rounds to 2^63 as a double; string length has no such boundary.)"""
     return (
         F.when(col == 0, F.lit(64))
-        .when(col < 0, F.lit(0))
-        .otherwise(63 - F.floor(F.log2(as_double)))
+        .otherwise(F.lit(64) - F.length(F.bin(col)))
         .cast("int")
     )
 

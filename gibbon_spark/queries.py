@@ -49,45 +49,48 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate samples the FIRST 50 dict entries of
 # queries(). The window is ROTATED each round so that, cumulatively,
-# every registered family earns a driver-green CORRECTNESS row (115/231
-# driver-verified through round 6; rounds 5-6 sampled the same set, so
-# round 7 swaps in 39 never-sampled names). Round-7 window =
+# every registered family earns a driver-green CORRECTNESS row
+# (154/231 driver-verified through round 7). Round-8 window =
 # 10 cross-family sentinels (driver-green anchors; regression
-# tripwires) + the 8 queries whose oracle dtypes were CAST-fixed this
-# round (q12 was the only driver FAIL; the 7 siblings carried the same
-# latent HUGEINT->float64 bug — prove the fix against the real driver
-# hash) + 32 never-driver-sampled names spanning funnels/attribution,
-# semantics galleries, corpus-curation/text ops, and multimodal/
-# embedding ops. Every name is oracle-backed; demoted names stay
-# registered right after the window for the full local gate and keep
-# their earlier driver-green rows as evidence.
+# tripwires) + 40 first-evers: 38 never-driver-sampled names —
+# the iterative/numeric queries where engine-vs-oracle drift is
+# likeliest (power iteration, k-means, bootstrap, A/B stats,
+# Spearman, recursive CTE), the streaming tail, the ts_* analytics
+# tail, the similarity/codec twins, and UDF-surface queries — plus
+# the 2 queries CONVERTED from rows-only to hash-exact this round
+# (ts_xor_bits via DuckDB's DOUBLE::BIT reinterpret, sim_topk_lsh via
+# full banded-candidate SQL replay), to prove the new oracles against
+# the real driver hash. Demoted names stay registered right after the
+# window for the full local gate and keep their earlier driver-green
+# rows as evidence.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # stable sentinels (driver-green r01-r06)
+    # stable sentinels (driver-green r01-r07)
     "ts_summary", "q1_pricing_summary", "dedup_exact", "dedup_minhash_lsh",
     "sim_topk_bruteforce", "gorilla_roundtrip_summary", "streaming_sessions",
     "streaming_stateful_summary", "pipeline_training_corpus",
     "multimodal_decode_resize",
-    # round-7 oracle dtype fixes (CAST ... AS BIGINT on 13 columns)
-    "q12_priority_by_status", "ts_uptime_slo", "null_semantics_gallery",
-    "ts_threshold_crossings", "multimodal_payload_stats", "pack_sequences",
-    "sample_mixture_sources", "ts_time_weighted_avg",
-    # never-sampled: funnel / attribution / behavioral
-    "funnel_conversion", "cohort_retention", "funnel_abandoned_clicks",
-    "events_attribution_last_touch", "events_attribution_linear",
-    "event_transitions", "events_dau_wau", "sessions_bounce_rate",
-    "conversion_lag_histogram",
-    # never-sampled: semantics galleries
-    "window_distribution_gallery", "array_hof_gallery", "map_ops_events",
-    "grouping_sets_orders",
-    # never-sampled: corpus curation / text / sampling
-    "text_pii_scrub", "quality_filter_report", "sample_stratified",
-    "sample_reservoir_per_group", "sample_weighted_quality",
-    "topk_per_group_quality", "chunk_documents_overlap", "vocab_coverage_oov",
-    "text_lexical_diversity", "text_repetition_stats", "lang_id_confusion",
-    "text_bigram_top20", "bm25_search", "inverted_index_terms",
-    "dedup_keep_representatives", "dedup_exact_substring",
-    # never-sampled: multimodal / embeddings
-    "multimodal_features", "multimodal_ahash_dedup", "embedding_centroids",
+    # round-8 rows-only -> hash-exact conversions
+    "ts_xor_bits", "sim_topk_lsh",
+    # never-sampled: iterative / numeric
+    "embedding_top_pc", "pagerank_nations", "kmeans_embeddings",
+    "graph_triangle_count", "bootstrap_ci_revenue", "abtest_value_z",
+    "abtest_cuped", "abtest_ks_distance", "ts_forecast_linear",
+    "ts_autocorr_lag", "corr_spearman_supplier", "recursive_supplier_chain",
+    # never-sampled: streaming tail
+    "streaming_sketch_hll", "streaming_static_enrich",
+    "streaming_topk_trending", "streaming_late_data_audit",
+    # never-sampled: ts_* analytics tail
+    "ts_ewma_fir", "ts_downsample_m4", "ts_anomaly_zscore", "ts_ohlc_1h",
+    "ts_rolling_median", "ts_asof_join_forward", "ts_seasonality_profile",
+    "ts_cusum_changepoints", "ts_sax_words", "ts_bollinger_bands",
+    "ts_hampel_filter",
+    # never-sampled: similarity / codec twins
+    "sim_embedding_neardup_exact", "sim_lsh_bucket_histogram",
+    "sim_ivf_recall_check", "gorilla_ratio_check", "knn_graph_lsh",
+    "embedding_quantize_error",
+    # never-sampled: UDF surface / joins / multimodal
+    "udtf_token_chunks", "udaf_geometric_mean", "multimodal_video_frame_luma",
+    "bloom_prefilter_join", "skew_salted_join",
 )
 
 
@@ -1269,16 +1272,43 @@ def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_xor_bits")
+@query(
+    "ts_xor_bits",
+    """
+    WITH b AS (
+      SELECT event_id, user_id,
+             (value::DOUBLE)::BIT AS bits,
+             lag((value::DOUBLE)::BIT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    x AS (
+      SELECT event_id, user_id,
+             CASE WHEN prev IS NULL THEN bits ELSE xor(bits, prev) END AS xb
+      FROM b
+    )
+    SELECT event_id, user_id,
+           xb::BIGINT AS value_xor,
+           CAST(CASE WHEN position('1' IN xb::VARCHAR) = 0 THEN 64
+                     ELSE position('1' IN xb::VARCHAR) - 1 END AS INTEGER)
+             AS xor_leading_zeros
+    FROM x
+    """,
+)
 def q_ts_xor_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The double codec's XOR math as a queryable per-series transform
-    (double_stream.rs:42): IEEE-754 bits of consecutive values XORed,
-    plus the leading-zero count the window encoding keys on. Bit
-    reinterpretation uses the Arrow-vectorized double_bits UDF; no SQL
-    oracle (DuckDB lacks a double→bits reinterpret), semantics are
-    pinned by tests/test_timeseries.py golden cases."""
+    (double_stream.rs:42): IEEE-754 bits of consecutive values XORed
+    (first record per series = the raw bits, exactly what the codec
+    stores for it), plus the leading-zero count the window encoding
+    keys on. Bit reinterpretation uses the Arrow-vectorized double_bits
+    UDF; the oracle replays it with DuckDB's DOUBLE→BIT cast (bit-string
+    reinterpret), BIT xor, and a position()-based exact leading-zero
+    count — converted from rows-only to hash-exact in round 8."""
     (events,) = _prep(spark, sf_dir, "events")
-    out = ts_ops.with_value_xor(events, ["user_id"], tiebreak=["event_id"])
+    out = ts_ops.with_value_xor(
+        events, ["user_id"], tiebreak=["event_id"], first_raw=True
+    )
     return out.select("event_id", "user_id", "value_xor", "xor_leading_zeros")
 
 

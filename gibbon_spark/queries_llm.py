@@ -577,12 +577,53 @@ def q_sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_lsh")
+def _lsh_topk_oracle_sql(dims: int = 64) -> str:
+    """Full SQL replay of lsh_topk: the md5-derived 16-bit bucket, its
+    four 4-bit bands, the any-band-shared candidate join, the exact
+    cosine rerank, and the deterministic (score DESC, nbr_id) rank —
+    candidate generation included, so the hash pins the index itself,
+    not just the rerank."""
+    n_bands = similarity.NUM_PLANES // 4
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS MATERIALIZED (
+      SELECT vec_id, ({_lsh_bucket_expr(dims)}) AS bucket FROM e
+    ),
+    bv AS (
+      SELECT vec_id, band, (bucket >> (band * 4)) & 15 AS val
+      FROM bk, (SELECT unnest(range({n_bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+      FROM bv q JOIN bv c ON q.band = c.band AND q.val = c.val
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.nbr_id, {_COSINE_SQL} AS cosine_sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.query_id
+      JOIN e b ON b.vec_id = cand.nbr_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_topk_lsh", _lsh_topk_oracle_sql())
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via banded hyperplane-LSH candidates + exact rerank.
-    No SQL oracle (the candidate set is the point of divergence from
-    brute force); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    Converted from rows-only to hash-exact in round 8: the planes are
+    md5-deterministic (similarity.plane_signs), so the oracle replays
+    the IDENTICAL candidate generation (bucket → 4-bit bands →
+    any-band-shared join) and rerank in SQL; the output already carries
+    a deterministic total order (cosine DESC, nbr_id ASC tiebreak).
+    Recall vs brute force is additionally asserted in
+    tests/test_similarity.py and the sim_lsh_recall_check twin."""
     (embs,) = _prep(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
