@@ -160,6 +160,8 @@ def compression_report(blocks: DataFrame) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("compressed_bytes"),
         (F.sum("n_samples") * 16).alias("raw_bytes"),
         F.round(
-            100.0 * F.sum(F.octet_length("payload")) / (F.sum("n_samples") * 16), 2
+            100.0 * F.sum(F.octet_length("payload")) / (F.sum("n_samples") * 16)
+            + F.lit(1e-9),
+            2,
         ).alias("ratio_pct"),
     )

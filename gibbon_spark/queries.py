@@ -52,14 +52,16 @@ def query(name: str, oracle: str | None = None):
 # every registered family earns a driver-green CORRECTNESS row
 # (154/231 driver-verified through round 7). Round-8 window =
 # 10 cross-family sentinels (driver-green anchors; regression
-# tripwires) + 40 first-evers: 38 never-driver-sampled names —
+# tripwires) + 40 first-evers: 36 never-driver-sampled names —
 # the iterative/numeric queries where engine-vs-oracle drift is
 # likeliest (power iteration, k-means, bootstrap, A/B stats,
 # Spearman, recursive CTE), the streaming tail, the ts_* analytics
 # tail, the similarity/codec twins, and UDF-surface queries — plus
-# the 2 queries CONVERTED from rows-only to hash-exact this round
+# the 4 queries CONVERTED from rows-only to hash-exact this round
 # (ts_xor_bits via DuckDB's DOUBLE::BIT reinterpret, sim_topk_lsh via
-# full banded-candidate SQL replay), to prove the new oracles against
+# full banded-candidate SQL replay, codec_xoror_bits +
+# gorilla_compression_ratio via a full SQL replay of the encoders' bit
+# accounting), to prove the new oracles against
 # the real driver hash. Demoted names stay registered right after the
 # window for the full local gate and keep their earlier driver-green
 # rows as evidence.
@@ -70,7 +72,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_stateful_summary", "pipeline_training_corpus",
     "multimodal_decode_resize",
     # round-8 rows-only -> hash-exact conversions
-    "ts_xor_bits", "sim_topk_lsh",
+    "ts_xor_bits", "sim_topk_lsh", "codec_xoror_bits",
+    "gorilla_compression_ratio",
     # never-sampled: iterative / numeric
     "embedding_top_pc", "pagerank_nations", "kmeans_embeddings",
     "graph_triangle_count", "bootstrap_ci_revenue", "abtest_value_z",
@@ -82,8 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # never-sampled: ts_* analytics tail
     "ts_ewma_fir", "ts_downsample_m4", "ts_anomaly_zscore", "ts_ohlc_1h",
     "ts_rolling_median", "ts_asof_join_forward", "ts_seasonality_profile",
-    "ts_cusum_changepoints", "ts_sax_words", "ts_bollinger_bands",
-    "ts_hampel_filter",
+    "ts_cusum_changepoints", "ts_bollinger_bands",
     # never-sampled: similarity / codec twins
     "sim_embedding_neardup_exact", "sim_lsh_bucket_histogram",
     "sim_ivf_recall_check", "gorilla_ratio_check", "knn_graph_lsh",

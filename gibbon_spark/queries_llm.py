@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gibbon_spark.codec import oracle_sql as _codec_oracle
 from gibbon_spark.functions import text as tx
 from gibbon_spark.operators import dedup, similarity
 from gibbon_spark.queries import _prep, exact_avg, query
@@ -840,11 +841,17 @@ def q_gorilla_dual_path_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gorilla_compression_ratio")
+@query("gorilla_compression_ratio", _codec_oracle.GORILLA_RATIO_ORACLE)
 def q_gorilla_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-stats query (csv_to_packed.rs:107-113) over the
-    distributed blocks: compressed vs 16 B/row raw. rows-only check (the
-    payload size is not SQL-derivable); determinism is pytest-asserted."""
+    distributed blocks: compressed vs 16 B/row raw. Converted from
+    rows-only to hash-exact in round 8: the oracle independently
+    recomputes every block's EXACT bit cost in SQL — stateless dod
+    costs (timestamp_stream.rs:29-67) as window functions, the
+    shrinking-window XOR value stream (double_stream.rs:33-82) as a
+    packed-BIGINT list_reduce fold, payload bytes = ceil(bits/8) — so
+    the hash now pins the encoder's byte-level output, not just
+    row coverage (codec/oracle_sql.py has the replay details)."""
     from gibbon_spark.codec import spark_ops
 
     (events,) = _prep(spark, sf_dir, "events")

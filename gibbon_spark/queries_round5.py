@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gibbon_spark.codec import oracle_sql as _codec_oracle
 from gibbon_spark.queries import _prep, query
 
 _CODEC_BUCKETS = 64  # applyInPandas callbacks per stage, not per series
@@ -162,16 +163,17 @@ def q_codec_xoror_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("codec_xoror_bits")
+@query("codec_xoror_bits", _codec_oracle.CODEC_XOROR_BITS_ORACLE)
 def q_codec_xoror_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``[XORORLEADING]``, measurement half (rows-only: exact payload
-    bit counts are a codec artifact, not SQL-derivable — same status as
-    gorilla_compression_ratio; determinism + golden totals at sf0.001
-    are pytest-pinned, and coverage/round-trip are oracle-checked by
-    the ``codec_xoror_winner`` twin): corpus-level bits/sample of the
-    shrinking-window ``DoubleEncoder`` vs the persistent-window
-    ``DoubleEncoderLeadTrail``, plus the crowned winner and its margin.
-    The measured answer is stated in SURVEY.md §8."""
+    """``[XORORLEADING]``, measurement half. Converted from rows-only to
+    hash-exact in round 8: the oracle replays BOTH xor-window encoders'
+    exact per-record bit costs in SQL (DOUBLE::BIT reinterpret +
+    packed-BIGINT list_reduce folds — codec/oracle_sql.py), so the
+    corpus-level bits/sample, the crowned winner and its margin are all
+    hash-pinned against an independent engine. Golden totals at
+    sf0.001 remain pytest-pinned; coverage/round-trip stay checked by
+    the ``codec_xoror_winner`` twin. The measured answer is stated in
+    SURVEY.md §8."""
     (events,) = _prep(spark, sf_dir, "events")
     stats = _series_codec_stats(events, verify=False)
     agg = stats.agg(
