@@ -76,14 +76,19 @@ def _write_section(targets: list[str], t3: dict, t10: dict) -> None:
             f"| {name} | {t3[name]:.2f} | {t10[name]:.2f} | {ratio:.1f}x "
             f"| {verdict} |"
         )
-    section = f"""## sf10 octave (top-10 + every >3.0x sf3 grower)
+    section = f"""## sf10 octave (top-30 by sf3 time + every >3.0x sf3 grower)
 
 Produced by `python tools/sf10_octave.py` — both points of each ratio
-re-measured back-to-back in one session. Data growth sf3 -> sf10 =
+re-measured back-to-back in one session. Round 7 covered the top-10 +
+>3.0x growers; round 8 extended to ranks 11-30 by sf3 time (verdict
+ask #5). Data growth sf3 -> sf10 =
 3.33x; gate: t(sf10) > {SLACK} x 3.33 x t(sf3) and t(sf10) > {ABS_FLOOR_S:g} s
 (work-model queries: {SLACK} x 3.33^2). A benign amortization grower
 converges toward the data ratio here; an emerging quadratic widens
-past 11x.
+past 11x. Flags are settled by the interleaved 3-rep protocol before
+being accepted (round 8: q21_sole_late_supplier first read 4.6x cold,
+settled at 2.61x warm — min 8.58 s sf10 vs 3.29 s sf3;
+ts_interpolate_linear first read 7.5x cold, settled at 3.1x).
 
 - Queries timed at sf10: **{len(targets)}**
 - Super-linear at sf10: **{len(flags)}**{' — ' + ', '.join(flags) if flags else ''}
