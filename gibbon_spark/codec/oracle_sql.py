@@ -167,7 +167,10 @@ GORILLA_RATIO_ORACLE = (
       SELECT user_id || '|' || ht AS bk, ep AS o1, v FROM blk
     ),
     """
-    + xor_fold_sql("vs", "bk", "o1")
+    # order mirrors the engine's total encode sort (epoch, value): epoch
+    # is second-truncated, so sub-second points can collide on it (16
+    # collisions at sf1); the value tiebreak makes both sides total
+    + xor_fold_sql("vs", "bk", "o1, v")
     + """
     , blocks AS (
       SELECT t.user_id, t.ht, v.n_values, t.ts_bits + v.xor_bits AS bits

@@ -69,9 +69,16 @@ def encode_timeseries(
     # (groups are contiguous because partitions are sorted).
     # partition on the full block key, not just series: low-cardinality
     # series sets (15 users here) would cap parallelism and skew; blocks
-    # are independent, so hashing them across all partitions is free
+    # are independent, so hashing them across all partitions is free.
+    # value is the final sort key: epoch is SECOND-truncated, so two
+    # sub-second points can share it (first seen at sf1 — 16 collisions
+    # in 1M rows), and an epoch-only sort leaves the xor stream — hence
+    # the compressed bytes — dependent on shuffle arrival order. With
+    # the value tiebreak the encode is total: remaining ties are
+    # identical (series, epoch, value) rows, which xor to 0 in any
+    # order, so the payload is reproducible under any partitioning.
     parts = keyed.repartition("series_id", "header_time").sortWithinPartitions(
-        "series_id", "header_time", "epoch"
+        "series_id", "header_time", "epoch", "value"
     )
 
     def encode_partition(batches):

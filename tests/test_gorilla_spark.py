@@ -63,3 +63,33 @@ def test_compression_report(spark, events):
     # irregular microsecond-jitter data won't hit the paper's 12x, but
     # must still beat raw 16 B/row
     assert row.compressed_bytes < row.raw_bytes
+
+def test_encode_deterministic_under_subsecond_epoch_ties(spark):
+    """Regression (round 8, found by the sf1 gorilla_compression_ratio
+    oracle): epoch is SECOND-truncated before encoding, so two
+    sub-second points can share (series, epoch); with an epoch-only
+    sort the xor stream — and the compressed bytes — depended on
+    shuffle arrival order (4-byte drift at sf1). The encode sort now
+    tiebreaks on value, making the payload reproducible under ANY
+    input order. Forced here on small data per the shrink-the-constant
+    rule: two ties per second, input presented in opposite orders."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for i in range(8):
+        t = base + dt.timedelta(seconds=60 * i)
+        rows.append((1, t + dt.timedelta(microseconds=100), 10.0 + i))
+        rows.append((1, t + dt.timedelta(microseconds=900), 90.0 - i))
+    fwd = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    rev = spark.createDataFrame(rows[::-1], "user_id int, ts timestamp, value double")
+
+    def payloads(df):
+        return sorted(
+            (r.series_id, r.header_time, r.n_bits, bytes(r.payload))
+            for r in spark_ops.encode_timeseries(
+                df.repartition(7), series=["user_id"]
+            ).collect()
+        )
+
+    assert payloads(fwd) == payloads(rev)
