@@ -1442,9 +1442,14 @@ def q_ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN date_diff('second',
+             -- microsecond precision, >= boundary: Spark's
+             -- session_window(ts, '30 minutes') opens a NEW session at a
+             -- gap of exactly 30:00 (window [t, t+gap) excludes t+gap)
+             -- and merges at 29:59.999999 — a whole-second > 1800 check
+             -- diverges on sub-second data (10 sessions at sf1)
+             CASE WHEN date_diff('microsecond',
                                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                 ts) > 1800
+                                 ts) >= 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -3258,9 +3263,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN date_diff('second',
+             -- microsecond precision, >= boundary: Spark's
+             -- session_window(ts, '30 minutes') opens a NEW session at a
+             -- gap of exactly 30:00 (window [t, t+gap) excludes t+gap)
+             -- and merges at 29:59.999999 — a whole-second > 1800 check
+             -- diverges on sub-second data (10 sessions at sf1)
+             CASE WHEN date_diff('microsecond',
                                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                 ts) > 1800
+                                 ts) >= 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
