@@ -57,7 +57,13 @@ def main() -> None:
     # comparable after dividing by this constant (rule in FIXTURES.md):
     # the r03->r04 "26% regression" was exactly such a fleet-wide host
     # multiplier. min of 2 runs each, so a single neighbor burst can't
-    # poison the constant.
+    # poison the constant. Round 9: the probe is now run THREE times,
+    # interleaved through the query loop (start / middle / end), and the
+    # MEDIAN is the constant — a single 5s+ host-load burst at probe time
+    # (the r08 4.31s-vs-0.64s incident that produced 165 false flags) can
+    # no longer poison every normalized figure in the artifact. The
+    # spread (max/min of the three) is published so readers can judge
+    # how trustworthy the constant is for that run.
     def _calibrate() -> tuple[float, float, float]:
         import numpy as np
         from pyspark.sql import functions as F
@@ -93,22 +99,26 @@ def main() -> None:
         # workload being normalized
         return round(spark_s + numpy_s, 4), round(spark_s, 4), round(numpy_s, 4)
 
-    calibration_s, calibration_shuffle_s, calibration_numpy_s = _calibrate()
+    cal_probes: list[tuple[float, float, float]] = [_calibrate()]
 
-    # previous run's per-query detail for the normalized-regression
-    # flags (FIXTURES.md §5). The driver's BENCH_r*.json keeps only a
+    # previous run's per-query detail for the regression flags
+    # (FIXTURES.md §5). The driver's BENCH_r*.json keeps only a
     # truncated stdout tail, so bench.py persists its own full detail
     # (BENCH_DETAIL.json, committed per round) and reads it back here.
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # The detail path is sf-KEYED up front (round-9 advisor fix): only a
+    # run at the canonical bench sf (0.1) reads/writes the committed
+    # BENCH_DETAIL.json baseline; runs at other scale factors compare
+    # against — and persist to — their own sibling file, so a repeat
+    # sf0.01 smoke run gets real regression flags instead of silently
+    # empty ones, and can never clobber the cross-round sf0.1 baseline.
+    detail_path = os.path.join(
+        REPO, "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     prev_queries: dict[str, float] = {}
     prev_cal = None
     try:
         with open(detail_path) as f:
             prev = json.load(f)
-        # only compare against a baseline taken at the SAME scale factor:
-        # a smoke run at another sf would otherwise produce bogus
-        # regression ratios (and, below, overwrite the committed sf0.1
-        # baseline, poisoning the next round's comparison)
         if (
             isinstance(prev.get("queries"), dict)
             and prev.get("calibration_s")
@@ -120,16 +130,20 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(qs.items()):
+    names = list(qs)
+    for i, name in enumerate(names):
         if i % 20 == 19:
             # nudge the driver JVM to GC: with a large heap it otherwise
             # never collects, so the ContextCleaner never releases the
             # accumulated shuffle files / broadcasts of prior queries,
             # which degrades the tail of the run
             spark.sparkContext._jvm.System.gc()
+        if i == len(names) // 2:
+            cal_probes.append(_calibrate())  # mid-run probe
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 4)
+    cal_probes.append(_calibrate())  # end-of-run probe
 
     # this box shares a host; a noisy-neighbor burst can inflate one or
     # two queries by 10-30s in a single pass. Re-run clear outliers
@@ -141,19 +155,32 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], round(time.time() - t0, 4))
 
+    # median of the three interleaved probes; spread = max/min exposes
+    # how noisy the host was across the run
+    totals = sorted(p[0] for p in cal_probes)
+    calibration_s = totals[len(totals) // 2]
+    cal_spread = round(totals[-1] / totals[0], 2) if totals[0] > 0 else None
+    mid = [p for p in cal_probes if p[0] == calibration_s][0]
+    calibration_shuffle_s, calibration_numpy_s = mid[1], mid[2]
+
     total = round(sum(timings.values()), 4)
     normalized_total = round(total / calibration_s, 2)
 
-    # per-query normalized-regression flags: a query regressed if its
-    # host-normalized time grew >1.3x vs the previous persisted run
+    # per-query regression flags — the README ledger's own rule, now
+    # applied inside the artifact (round-9 fix for the r08 165-false-flag
+    # incident): a query is flagged only when BOTH its raw wall time AND
+    # its host-normalized time grew >1.3x vs the previous persisted run.
+    # A calibration-constant swing moves every normalized ratio but no
+    # raw ratio; a genuine plan regression moves both.
     regressed: dict[str, float] = {}
     if prev_queries and prev_cal:
         for name, t in timings.items():
             pt = prev_queries.get(name)
             if pt and pt > 0:
-                ratio = (t / calibration_s) / (pt / prev_cal)
-                if ratio > 1.3 and t > 0.5:  # ignore sub-noise absolute times
-                    regressed[name] = round(ratio, 2)
+                raw_ratio = t / pt
+                norm_ratio = (t / calibration_s) / (pt / prev_cal)
+                if min(raw_ratio, norm_ratio) > 1.3 and t > 0.5:
+                    regressed[name] = round(min(raw_ratio, norm_ratio), 2)
 
     detail = {
         "metric": "headline_queries_total_wall",
@@ -164,16 +191,12 @@ def main() -> None:
         "calibration_s": calibration_s,
         "calibration_shuffle_s": calibration_shuffle_s,
         "calibration_numpy_s": calibration_numpy_s,
+        "calibration_probes": [p[0] for p in cal_probes],
+        "calibration_spread": cal_spread,
         "normalized_total": normalized_total,
         "regressed": regressed,
     }
     print(json.dumps(detail))
-    # detail files are keyed by sf: only a run at the canonical bench sf
-    # (0.1) may update the committed BENCH_DETAIL.json baseline; runs at
-    # other scale factors persist to a sibling file instead of clobbering
-    # the cross-round regression baseline
-    if sf != 0.1:
-        detail_path = os.path.join(REPO, f"BENCH_DETAIL_sf{sf}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f)
@@ -188,6 +211,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "calibration_s": calibration_s,
+            "calibration_spread": cal_spread,
             "normalized_total": normalized_total,
             "n_regressed": len(regressed),
         }

@@ -74,11 +74,23 @@ def encode_timeseries(
     # sub-second points can share it (first seen at sf1 — 16 collisions
     # in 1M rows), and an epoch-only sort leaves the xor stream — hence
     # the compressed bytes — dependent on shuffle arrival order. With
-    # the value tiebreak the encode is total: remaining ties are
-    # identical (series, epoch, value) rows, which xor to 0 in any
-    # order, so the payload is reproducible under any partitioning.
+    # the value tiebreak the encode is total UP TO the IEEE bit pattern:
+    # -0.0 sorts equal to +0.0, so a zero-sign tiebreak (sign of 1/v)
+    # pins that last double pair whose compare-equal values are
+    # bit-distinct. Remaining (series, epoch, value-bits) ties are
+    # bit-identical rows, which xor to 0 in any order. NaNs (the other
+    # compare-equal/bit-distinct class) are ordered last as a group;
+    # distinct NaN *payloads* in one (series, second) would still be
+    # order-ambiguous — accepted precondition: the ingest contract is
+    # real telemetry (testdata generator emits no NaN), and a NaN xor
+    # stream is semantically meaningless anyway.
+    zero_sign = (
+        F.when(F.isnan("value"), F.lit(2))
+        .when((F.col("value") == 0.0) & (F.lit(1.0) / F.col("value") < 0), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
     parts = keyed.repartition("series_id", "header_time").sortWithinPartitions(
-        "series_id", "header_time", "epoch", "value"
+        "series_id", "header_time", "epoch", "value", zero_sign
     )
 
     def encode_partition(batches):

@@ -532,6 +532,88 @@ def lsh_topk(
 
 
 _IVF_MAX_TRAIN = 25_600  # FAISS-style bound: codebooks train on a sample
+IVF_QUANT = 10_000  # 1e-4 coordinate grid: exact BIGINT distance math
+IVF_ITERS = 4  # unrolled Lloyd rounds (a coarse quantizer saturates fast)
+IVF_PICK_HEX = 15  # 60-bit md5 uniforms for the k-means++ inverse-CDF
+IVF_U = 16**IVF_PICK_HEX
+
+
+def ivf_pick_u(seed: int, t: int) -> int:
+    """The t-th k-means++ selection uniform in [0, IVF_U): the first 15
+    hex digits of md5("ivf-pick:{seed}:{t}"). A data-independent
+    constant, so the SQL oracle inlines the same literal."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"ivf-pick:{seed}:{t}".encode()).hexdigest()[
+            :IVF_PICK_HEX
+        ],
+        16,
+    )
+
+
+def ivf_train_centroids(train_pdf: pd.DataFrame, n_lists: int, seed: int):
+    """Deterministic, integer-exact k-means the DuckDB oracle can replay
+    verbatim (the kmeans_embeddings discipline applied to the IVF
+    codebook — round-9 rows-only→hash-exact conversion):
+
+    - coordinates quantized once to the 1e-4 integer grid
+      (``floor(v*10000 + 0.5)``), all distances exact BIGINT sums;
+    - k-means++ WITHOUT RNG: the seed point is the min
+      (md5("ivf-seed:{seed}:{id}"), id); each further pick is an
+      inverse-CDF draw over the best-distance weights with the
+      md5-derived uniform ``ivf_pick_u`` — the first id (ascending)
+      whose cumulative weight satisfies ``cum * IVF_U > u * tot``,
+      evaluated in exact big-int arithmetic (HUGEINT on the SQL side);
+    - ``IVF_ITERS`` Lloyd rounds: argmin = min(dist*k + j) (ties to the
+      lowest list id), centroid update = floor(mean + 0.5) per
+      dimension, empty lists keep their previous centroid.
+
+    ``train_pdf`` must have columns (id, vec); order does not matter
+    (picks sort by id internally). Returns int64 centroids on the
+    quantized grid, shape (k, dims)."""
+    import hashlib
+
+    import numpy as np
+
+    pdf = train_pdf.sort_values("id").reset_index(drop=True)
+    ids = pdf["id"].to_numpy()
+    X = np.stack(pdf["vec"].to_numpy()).astype("float64")
+    Q = np.floor(X * IVF_QUANT + 0.5).astype(np.int64)
+    k = min(n_lists, len(Q))
+
+    def seed_rank(i: int) -> tuple[str, int]:
+        h = hashlib.md5(f"ivf-seed:{seed}:{ids[i]}".encode()).hexdigest()
+        return (h, int(ids[i]))
+
+    first = min(range(len(Q)), key=seed_rank)
+    cent = Q[[first]].copy()
+    best = ((Q - Q[first]) ** 2).sum(axis=1)
+    for t in range(1, k):
+        tot = int(best.sum())
+        # distinct vectors guarantee tot > 0 while #centroids < #points;
+        # the SQL replay relies on the same precondition
+        assert tot > 0, "k-means++ on fewer distinct vectors than lists"
+        u = ivf_pick_u(seed, t)
+        # first id with cum * U > u * tot  <=>  cum >= u*tot//U + 1
+        target = u * tot // IVF_U + 1
+        cum = np.cumsum(best)
+        pick = int(np.searchsorted(cum, target, side="left"))
+        cent = np.concatenate([cent, Q[[pick]]])
+        best = np.minimum(best, ((Q - Q[pick]) ** 2).sum(axis=1))
+
+    xsq = (Q**2).sum(axis=1)
+    for _ in range(IVF_ITERS):
+        csq = (cent**2).sum(axis=1)
+        dists = xsq[:, None] - 2 * (Q @ cent.T) + csq[None, :]
+        labels = dists.argmin(axis=1)  # ties -> lowest list id
+        for j in range(k):
+            pts = Q[labels == j]
+            if len(pts):
+                cent[j] = np.floor(
+                    pts.sum(axis=0).astype("float64") / len(pts) + 0.5
+                ).astype(np.int64)
+    return cent
 
 
 def ivf_assign(
@@ -546,64 +628,36 @@ def ivf_assign(
     nearest-centroid (euclidean) inverted list.
 
     The quantizer trains DRIVER-SIDE in numpy on a deterministic
-    hash-capped sample (≤ ~25k vectors — the standard IVF practice:
+    md5-rank-capped sample (≤ ~25k vectors — the standard IVF practice:
     codebook quality saturates at a few hundred points per centroid, so
-    training cost is independent of corpus size). Assignment stays
-    distributed: one Arrow-batched GEMM pass over the corpus with the
-    centroid matrix shipped in the closure. Returns (assigned DataFrame
-    with a ``list_id`` column, centroids as a numpy array)."""
-    import numpy as np
-
+    training cost is independent of corpus size; ~13 MB driver state at
+    the cap). Training is integer-exact and RNG-free (see
+    ivf_train_centroids), so the whole index — sample, codebook,
+    assignment — is replayable by the DuckDB oracle. Assignment stays
+    distributed: one Arrow-batched integer GEMM pass over the corpus
+    with the (k x dims) centroid grid shipped in the closure; argmin
+    ties break to the lowest list id on both engines. Returns (assigned
+    DataFrame with a ``list_id`` column, int64 centroids on the
+    IVF_QUANT grid)."""
     feat = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    n = feat.count()
-    if n == 0:
-        raise ValueError("cannot build an IVF index over an empty corpus")
-    # deterministic distributed sample: keep ids whose hash lands in the
-    # first ceil(n/MAX)-th of the hash space
-    denom = max(1, -(-n // _IVF_MAX_TRAIN))
-    train = feat
-    if denom > 1:
-        train = feat.filter(
-            F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), denom)
-            == 0
+    # deterministic bounded sample: the _IVF_MAX_TRAIN ids with the
+    # smallest md5("ivf-sample:{seed}:{id}") — a global top-k
+    # (TakeOrderedAndProject), no full sort, replayed in SQL as
+    # ORDER BY md5(...) LIMIT
+    train_pdf = (
+        feat.orderBy(
+            F.md5(F.concat(F.lit(f"ivf-sample:{seed}:"), F.col("id").cast("string"))),
+            "id",
         )
-    X = np.stack(train.select("vec").toPandas()["vec"].to_numpy()).astype(
-        "float64"
+        .limit(_IVF_MAX_TRAIN)
+        .toPandas()
     )
-    k = min(n_lists, len(X))
-
-    # k-means++ init + Lloyd iterations, all numpy (a ≤25k x d problem);
-    # distances via the GEMM identity ||x-c||² = ||x||² - 2x·c + ||c||²
-    rng = np.random.default_rng(seed)
-    xsq = (X**2).sum(axis=1)
-
-    def dist2(C):
-        return np.maximum(
-            xsq[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :], 0.0
-        )
-
-    centroids = X[[rng.integers(0, len(X))]].copy()
-    best = dist2(centroids)[:, 0]
-    for _ in range(1, k):
-        tot = best.sum()
-        pick = (
-            rng.integers(0, len(X))
-            if tot <= 0
-            else rng.choice(len(X), p=best / tot)
-        )
-        centroids = np.concatenate([centroids, X[[pick]]])
-        best = np.minimum(best, dist2(X[[pick]])[:, 0])
-    for _ in range(8):  # a coarse quantizer doesn't need convergence
-        labels = dist2(centroids).argmin(axis=1)
-        for j in range(k):
-            pts = X[labels == j]
-            if len(pts):
-                centroids[j] = pts.mean(axis=0)
-
-    cent = centroids.copy()
-    half_sq = 0.5 * (cent**2).sum(axis=1)
+    if not len(train_pdf):
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    cent = ivf_train_centroids(train_pdf, n_lists, seed)
+    csq = (cent**2).sum(axis=1)
 
     def assign(batches):
         import numpy as np
@@ -613,13 +667,15 @@ def ivf_assign(
             if not len(pdf):
                 continue
             mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
-            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2)
-            scores = mat @ cent.T - half_sq
+            q = np.floor(mat * IVF_QUANT + 0.5).astype(np.int64)
+            # exact integer argmin ||x-c||^2: xsq is constant per row,
+            # so argmin(csq - 2 x.c) suffices; np.argmin ties -> lowest j
+            scores = csq[None, :] - 2 * (q @ cent.T)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "vec": pdf["vec"],
-                    "list_id": scores.argmax(axis=1).astype("int32"),
+                    "list_id": scores.argmin(axis=1).astype("int32"),
                 }
             )
 
@@ -627,7 +683,7 @@ def ivf_assign(
     assigned = feat.mapInPandas(
         assign, f"id long, vec {vec_type}, list_id int"
     )
-    return assigned, centroids
+    return assigned, cent
 
 
 def ivf_topk(
@@ -643,10 +699,13 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF ANN top-k: score only the nprobe inverted lists whose
-    centroids are nearest each query, then exact-cosine rerank with the
-    same batched-GEMM scorer as the LSH path. Candidate fraction ≈
-    nprobe/n_lists of the corpus; recall asserted vs brute force in
-    tests/test_similarity.py."""
+    centroids are nearest each query (exact integer euclidean — the
+    SAME metric the assignment uses, so the probe choice is replayable
+    in the SQL oracle; ties to the lowest list id), then exact-cosine
+    rerank with the same batched-GEMM scorer as the LSH path. Candidate
+    fraction ≈ nprobe/n_lists of the corpus; recall asserted vs brute
+    force in tests/test_similarity.py and the sim_ivf_recall_check
+    twin."""
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -658,14 +717,17 @@ def ivf_topk(
     ).toPandas()
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _unit_rows(q_pdf, "vec")
-    c_norm = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1), 1e-12
-    )[:, None]
-    sims_qc = q_mat @ c_norm.T  # (n_queries, n_lists)
-    probes = np.argsort(-sims_qc, axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(q_ids[qi]), int(lst)) for qi in range(len(q_ids)) for lst in probes[qi]
-    ]
+    q_int = np.floor(
+        np.stack(q_pdf["vec"].to_numpy()).astype("float64") * IVF_QUANT + 0.5
+    ).astype(np.int64)
+    csq = (centroids**2).sum(axis=1)
+    dists = csq[None, :] - 2 * (q_int @ centroids.T)  # + qsq (row-const)
+    # nprobe nearest lists per query, ties to the lowest list id:
+    # lexsort by (dist, j) — exact integers, no float comparisons
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        order = sorted(range(len(csq)), key=lambda j: (int(dists[qi, j]), j))
+        probe_rows.extend((int(q_ids[qi]), int(j)) for j in order[:nprobe])
     probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     cand = (
         assigned.join(F.broadcast(probe_df), "list_id")

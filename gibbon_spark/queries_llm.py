@@ -904,12 +904,162 @@ def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_exact_duplicates(docs).select("doc_id")
 
 
-@query("sim_topk_ivf")
+def _ivf_topk_oracle_sql(
+    dims: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    k: int = 5,
+) -> str:
+    """Full SQL replay of ivf_topk (round-9 rows-only → hash-exact
+    conversion): the md5-rank-capped train sample, the RNG-free
+    k-means++ init (inverse-CDF over md5 uniforms in exact HUGEINT
+    arithmetic), the IVF_ITERS unrolled integer Lloyd rounds (argmin =
+    min(dist*k + j), centroid update floor(mean + 0.5), empty lists keep
+    their previous centroid), the full-corpus integer assignment, the
+    nprobe nearest-list probe per query (same metric, (dist, j) ties),
+    and the exact cosine rerank — candidate generation INCLUDED, so the
+    hash pins the trained codebook itself."""
+    q = similarity.IVF_QUANT
+    u_const = similarity.IVF_U
+    iters = similarity.IVF_ITERS
+    max_train = similarity._IVF_MAX_TRAIN
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ei AS MATERIALIZED (
+      SELECT vec_id, i, CAST(floor(v[i] * {q} + 0.5) AS BIGINT) AS ev
+      FROM e, LATERAL unnest(range(1, {dims} + 1)) AS t(i)
+    ),
+    train AS MATERIALIZED (
+      SELECT vec_id FROM e
+      ORDER BY md5('ivf-sample:{seed}:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {max_train}
+    ),
+    te AS MATERIALIZED (SELECT ei.* FROM ei JOIN train USING (vec_id)),
+    p0 AS MATERIALIZED (
+      SELECT vec_id FROM train
+      ORDER BY md5('ivf-seed:{seed}:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 1
+    ),
+    b0 AS MATERIALIZED (
+      SELECT te.vec_id, sum((te.ev - c.ev) * (te.ev - c.ev)) AS best
+      FROM te JOIN te c ON c.i = te.i JOIN p0 ON c.vec_id = p0.vec_id
+      GROUP BY te.vec_id
+    )"""
+    ]
+    for t in range(1, n_lists):
+        u_t = similarity.ivf_pick_u(seed, t)
+        parts.append(
+            f""",
+    p{t} AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               sum(best) OVER (ORDER BY vec_id) AS cum,
+               sum(best) OVER () AS tot
+        FROM b{t - 1})
+      WHERE CAST(cum AS HUGEINT) * CAST({u_const} AS HUGEINT)
+            > CAST({u_t} AS HUGEINT) * CAST(tot AS HUGEINT)
+      ORDER BY vec_id LIMIT 1
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT b.vec_id, least(b.best, n.d) AS best
+      FROM b{t - 1} b JOIN (
+        SELECT te.vec_id, sum((te.ev - c.ev) * (te.ev - c.ev)) AS d
+        FROM te JOIN te c ON c.i = te.i JOIN p{t} ON c.vec_id = p{t}.vec_id
+        GROUP BY te.vec_id
+      ) n USING (vec_id)
+    )"""
+        )
+    seed_rows = "\n      UNION ALL ".join(
+        f"SELECT {t} AS j, te.i, te.ev AS cv FROM te "
+        f"JOIN p{t} ON te.vec_id = p{t}.vec_id"
+        for t in range(n_lists)
+    )
+    parts.append(f""",
+    l0 AS MATERIALIZED ({seed_rows})""")
+    prev = "l0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, CAST(min(dist * {n_lists} + j) % {n_lists} AS INT) AS j
+      FROM (
+        SELECT te.vec_id, c.j,
+               sum((te.ev - c.cv) * (te.ev - c.cv)) AS dist
+        FROM te JOIN {prev} c ON c.i = te.i GROUP BY te.vec_id, c.j)
+      GROUP BY vec_id
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT p.j, p.i, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT a.j, te.i,
+               CAST(floor(CAST(sum(te.ev) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS cv
+        FROM a{r} a JOIN te ON te.vec_id = a.vec_id GROUP BY a.j, te.i
+      ) m ON m.j = p.j AND m.i = p.i
+    )"""
+        )
+        prev = f"l{r}"
+    parts.append(
+        f""",
+    az AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(min(dist * {n_lists} + j) % {n_lists} AS INT) AS list_id
+      FROM (
+        SELECT ei.vec_id, c.j,
+               sum((ei.ev - c.cv) * (ei.ev - c.cv)) AS dist
+        FROM ei JOIN {prev} c ON c.i = ei.i GROUP BY ei.vec_id, c.j)
+      GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT query_id, j AS list_id FROM (
+        SELECT query_id, j,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, j) AS rn
+        FROM (
+          SELECT ei.vec_id AS query_id, c.j,
+                 sum((ei.ev - c.cv) * (ei.ev - c.cv)) AS dist
+          FROM ei JOIN {prev} c ON c.i = ei.i
+          WHERE ei.vec_id < 10 GROUP BY ei.vec_id, c.j))
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, z.vec_id AS nbr_id
+      FROM probes p JOIN az z USING (list_id)
+      WHERE z.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.nbr_id, {_COSINE_SQL} AS cosine_sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.query_id
+      JOIN e b ON b.vec_id = cand.nbr_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+    )
+    return "".join(parts)
+
+
+@query("sim_topk_ivf", _ivf_topk_oracle_sql())
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (k-means coarse quantizer, nprobe=4 of 16 lists)
     — the second scale path for similarity search alongside
-    hyperplane-LSH. No SQL oracle (MLlib centroids are not
-    SQL-replayable); recall vs brute force is pytest-asserted."""
+    hyperplane-LSH. Converted from rows-only to hash-exact in round 9:
+    the codebook now trains RNG-free (md5-derived k-means++ picks,
+    integer-exact Lloyd rounds — similarity.ivf_train_centroids), so
+    the oracle replays the ENTIRE index in SQL: train sample, codebook,
+    corpus assignment, probe selection, rerank. Recall vs brute force
+    is additionally asserted in tests/test_similarity.py and the
+    sim_ivf_recall_check twin."""
     (embs,) = _prep(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -40,12 +40,17 @@ def test_both_variants_round_trip_exactly():
 
 def test_biased_not_slower_than_branchy():
     # generous margin: the benchmark takes min-of-repeats, but the host
-    # is shared; assert direction, not the exact 1.35x. Best-effort: a
-    # neighbor burst mid-repeat can still invert the direction, so a
-    # miss is a skip (the measured steady-state figure lives in
-    # SURVEY.md §6), not a hard failure.
-    import pytest
-
-    result = run(n=60_000, repeats=3)
-    if result["branchy_over_biased"] <= 0.9:
-        pytest.skip(f"timing inverted under host load: {result}")
+    # is shared; assert direction, not the exact 1.35x. A single
+    # neighbor burst mid-repeat can invert the direction, so one miss
+    # triggers a re-measure — but a regression that inverts EVERY
+    # attempt is real and must FAIL (round-9 advisor fix: the previous
+    # skip-on-first-inversion version could never gate anything).
+    results = []
+    for _ in range(3):
+        result = run(n=60_000, repeats=3)
+        results.append(result["branchy_over_biased"])
+        if result["branchy_over_biased"] > 0.9:
+            return
+    raise AssertionError(
+        f"biased decode slower than branchy in all 3 attempts: {results}"
+    )
