@@ -910,6 +910,7 @@ def _ivf_topk_oracle_sql(
     nprobe: int = 4,
     seed: int = 42,
     k: int = 5,
+    emit: str = "topk",
 ) -> str:
     """Full SQL replay of ivf_topk (round-9 rows-only → hash-exact
     conversion): the md5-rank-capped train sample, the RNG-free
@@ -919,7 +920,12 @@ def _ivf_topk_oracle_sql(
     their previous centroid), the full-corpus integer assignment, the
     nprobe nearest-list probe per query (same metric, (dist, j) ties),
     and the exact cosine rerank — candidate generation INCLUDED, so the
-    hash pins the trained codebook itself."""
+    hash pins the trained codebook itself.
+
+    ``emit="centroids"`` stops after training and returns the final
+    (j, i, cv) centroid table — the test hook that lets pytest compare
+    the SQL replay against similarity.ivf_train_centroids directly on
+    crafted corpora (empty-cluster COALESCE path, cap binding)."""
     q = similarity.IVF_QUANT
     u_const = similarity.IVF_U
     iters = similarity.IVF_ITERS
@@ -944,9 +950,12 @@ def _ivf_topk_oracle_sql(
       ORDER BY md5('ivf-seed:{seed}:' || CAST(vec_id AS VARCHAR)), vec_id
       LIMIT 1
     ),
+    nc0 AS MATERIALIZED (
+      SELECT te.i, te.ev FROM te JOIN p0 USING (vec_id)
+    ),
     b0 AS MATERIALIZED (
-      SELECT te.vec_id, sum((te.ev - c.ev) * (te.ev - c.ev)) AS best
-      FROM te JOIN te c ON c.i = te.i JOIN p0 ON c.vec_id = p0.vec_id
+      SELECT te.vec_id, sum((te.ev - nc.ev) * (te.ev - nc.ev)) AS best
+      FROM te JOIN nc0 nc ON nc.i = te.i
       GROUP BY te.vec_id
     )"""
     ]
@@ -964,19 +973,20 @@ def _ivf_topk_oracle_sql(
             > CAST({u_t} AS HUGEINT) * CAST(tot AS HUGEINT)
       ORDER BY vec_id LIMIT 1
     ),
+    nc{t} AS MATERIALIZED (
+      SELECT te.i, te.ev FROM te JOIN p{t} USING (vec_id)
+    ),
     b{t} AS MATERIALIZED (
       SELECT b.vec_id, least(b.best, n.d) AS best
       FROM b{t - 1} b JOIN (
-        SELECT te.vec_id, sum((te.ev - c.ev) * (te.ev - c.ev)) AS d
-        FROM te JOIN te c ON c.i = te.i JOIN p{t} ON c.vec_id = p{t}.vec_id
+        SELECT te.vec_id, sum((te.ev - nc.ev) * (te.ev - nc.ev)) AS d
+        FROM te JOIN nc{t} nc ON nc.i = te.i
         GROUP BY te.vec_id
       ) n USING (vec_id)
     )"""
         )
     seed_rows = "\n      UNION ALL ".join(
-        f"SELECT {t} AS j, te.i, te.ev AS cv FROM te "
-        f"JOIN p{t} ON te.vec_id = p{t}.vec_id"
-        for t in range(n_lists)
+        f"SELECT {t} AS j, i, ev AS cv FROM nc{t}" for t in range(n_lists)
     )
     parts.append(f""",
     l0 AS MATERIALIZED ({seed_rows})""")
@@ -1003,6 +1013,9 @@ def _ivf_topk_oracle_sql(
     )"""
         )
         prev = f"l{r}"
+    if emit == "centroids":
+        parts.append(f"\n    SELECT j, i, cv FROM {prev} ORDER BY j, i")
+        return "".join(parts)
     parts.append(
         f""",
     az AS MATERIALIZED (
