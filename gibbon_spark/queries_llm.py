@@ -503,13 +503,25 @@ def _lsh_band_exprs(dims: int = 64) -> list[str]:
 def _lsh_neardup_oracle_sql(threshold: float = 0.4) -> str:
     band_cols = ", ".join(f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs()))
     n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
-    band_eq = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(n_bands))
+    # long-form per-band hash join, not a 32-way OR join: identical
+    # "share >= 1 band" pair set, but spillable (DuckDB runs OR-joins as
+    # non-spillable blockwise loops — OOM past ~20k vectors; the same
+    # relational restatement the knn oracle got in round 7, promoted to
+    # the registered oracle in round 9 so the full sf3 sweep can run it)
+    band_long = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band_{b} AS val FROM bk"
+        for b in range(n_bands)
+    )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
+    bl AS MATERIALIZED (
+      {band_long}
+    ),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bl a JOIN bl b
+        ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
     )
     SELECT c.id_a, c.id_b, {_COSINE_SQL} AS cosine_sim
     FROM cand c

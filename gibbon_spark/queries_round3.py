@@ -200,7 +200,16 @@ def _neardup_check_oracle_sql() -> str:
         f"{e} AS band_{i}" for i, e in enumerate(_lsh_band_exprs())
     )
     n_bands = similarity.NEARDUP_PLANES // similarity.NEARDUP_BAND_BITS
-    band_eq = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(n_bands))
+    # candidate generation stated RELATIONALLY (long-form per-band hash
+    # join) instead of a 32-way OR join: identical pair set ("share >= 1
+    # band"), but DuckDB executes OR-joins as non-spillable blockwise
+    # loops that exhaust memory past ~20k vectors (first hit at the sf3
+    # sweep), while the long form streams — the same restatement the knn
+    # oracle got in round 7
+    band_long = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band_{b} AS val FROM bk"
+        for b in range(n_bands)
+    )
     # deterministic near-copy: v[d] + 0.02 * (md5-uniform(id, d) in [-1, 1))
     perturb = (
         "list_transform(v, x -> x + 0.02 * "
@@ -219,11 +228,15 @@ def _neardup_check_oracle_sql() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL SELECT vec_id, v FROM copies
     ),
-    e AS (SELECT vec_id, v FROM corpus),
+    e AS MATERIALIZED (SELECT vec_id, v FROM corpus),
     bk AS MATERIALIZED (SELECT vec_id, {band_cols} FROM e),
-    cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({band_eq})
+    bl AS MATERIALIZED (
+      {band_long}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bl a JOIN bl b
+        ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
     ),
     pairs AS (
       SELECT c.id_a, c.id_b, {_COSINE_SQL} AS cosine_sim
