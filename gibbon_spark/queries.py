@@ -1737,16 +1737,23 @@ def q_ts_trailing_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "argmin_cheapest_order",
     """
-    SELECT o_custkey,
-           min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS cheapest_orderkey,
-           round(min(o_totalprice), 2) AS cheapest_price
-    FROM orders
-    GROUP BY o_custkey
+    SELECT o_custkey, o_orderkey AS cheapest_orderkey,
+           round(o_totalprice, 2) AS cheapest_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
     """,
 )
 def q_argmin_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin via min-over-struct (lexicographic (price, key) ordering —
-    deterministic under price ties, unlike min_by)."""
+    deterministic under price ties, unlike min_by). The oracle states
+    the same argmin as a window rank (row_number over (price, key),
+    rn = 1): DuckDB 1.0's min-over-STRUCT aggregate state blows past
+    its own memory limit at 4.5M rows / 450k groups (126 GB RSS,
+    OOM-killed at the sf3 sweep), while the window form streams."""
     (orders,) = _prep(spark, sf_dir, "orders")
     s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return orders.groupBy("o_custkey").agg(
