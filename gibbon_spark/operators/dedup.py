@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,7 +147,23 @@ def jaccard_pairs_prefix(
     J ≤ min/max < t for any pair outside the band.
     """
     t = float(threshold)
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    # The shingle subtree (scan → tokenize → posexplode → lead window →
+    # distinct) feeds FIVE consumers below: df table, prefix build, and
+    # both sides of the verify join. Without a materialization Spark
+    # replays the whole subtree per consumer (ReuseExchange doesn't fire
+    # — each use projects/filters differently). localCheckpoint stores
+    # the computed partitions as raw blocks at first use and truncates
+    # lineage. Interleaved A/B at sf0.1 (fresh DFs, one session, 4
+    # pairs): dedup_containment min 7.2 s → 5.7 s with every ON rep
+    # under the OFF median; dedup_ngram_jaccard within noise on min
+    # (3.5 vs 3.7) but the ON spread tightens 3.5-9.8 → 3.7-5.8.
+    # (.persist(MEMORY_AND_DISK) was tried first and was 3× WORSE than
+    # no cache at all — the columnar cache build + lost whole-stage
+    # pipelining cost more than the four recomputes.) Cluster tradeoff:
+    # truncated lineage means a lost executor can't recompute these
+    # blocks — on a real cluster prefer reliable checkpoint storage or
+    # accept the stage re-run; the table is ~tokens-sized, linear.
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
     w_doc = Window.partitionBy("id")
@@ -239,7 +256,10 @@ def containment_pairs_prefix(
     verify joins candidates back to the inverted index keyed on
     (id, shingle) — every shuffle keyed, no replication."""
     t = float(threshold)
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    # Same five-consumer reuse as jaccard_pairs_prefix (see the measured
+    # rationale there): materialize the shingle subtree once — freq,
+    # probe, idx, and both verify sides read the checkpointed blocks.
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
     w_doc = Window.partitionBy("id")
