@@ -1,0 +1,151 @@
+"""Batched oracle sweep runner with an RSS watchdog — the round-9 sf3
+full-registry protocol (SCALE_ORACLE_SF3.txt) made reusable for any SF.
+
+Runs ``tools/oracle_check.py <sf_dir> <batch...>`` in fresh subprocesses
+(batch size configurable, default 8): a fresh process per batch keeps a
+grown JVM + DuckDB buffer pool from compounding across the sweep, and a
+poisoned DuckDB connection (one oracle hitting its memory limit) can
+only take down its own batch. A watchdog thread samples the combined
+RSS of the batch's process tree once a second and kills the tree past
+the cap (default 70 GB — the box OOM-killed an unguarded sf3 batch at
+107 GB), recording which queries were in flight so they can be retried
+solo or restated.
+
+Usage:
+    python tools/run_oracle_sweep.py <sf_dir> <out_file> [--batch N]
+        [--duck-mem 28GB] [--rss-gb 70] <name...>
+
+Appends per-query PASS/FAIL lines (oracle_check.py's own output) plus a
+final summary to <out_file>.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tree_rss_kb(pid: int) -> int:
+    """Sum VmRSS over pid and its descendants (procfs walk)."""
+    children: dict[int, list[int]] = {}
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        p = int(entry)
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().split()
+            ppid = int(parts[3])
+        except OSError:
+            continue
+        pids.append(p)
+        children.setdefault(ppid, []).append(p)
+    tree, stack = set(), [pid]
+    while stack:
+        p = stack.pop()
+        if p in tree:
+            continue
+        tree.add(p)
+        stack.extend(children.get(p, []))
+    total = 0
+    for p in tree:
+        try:
+            with open(f"/proc/{p}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+        except OSError:
+            continue
+    return total
+
+
+def run_batch(
+    sf_dir: str, names: list[str], out, duck_mem: str, rss_cap_gb: float
+) -> tuple[int, bool]:
+    env = dict(os.environ, GS_ORACLE_DUCK_MEM=duck_mem)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), sf_dir]
+        + names,
+        stdout=out,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+    )
+    killed = False
+
+    def watchdog() -> None:
+        nonlocal killed
+        cap_kb = int(rss_cap_gb * 1024 * 1024)
+        while proc.poll() is None:
+            if _tree_rss_kb(proc.pid) > cap_kb:
+                killed = True
+                out.write(
+                    f"WATCHDOG KILL batch {names} — tree RSS exceeded "
+                    f"{rss_cap_gb} GB\n"
+                )
+                out.flush()
+                os.killpg(proc.pid, signal.SIGKILL)
+                return
+            time.sleep(1)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    rc = proc.wait()
+    t.join(timeout=5)
+    return rc, killed
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if len(args) < 3:
+        print(__doc__)
+        return 1
+    sf_dir, out_file = args[0], args[1]
+    rest = args[2:]
+    batch_n, duck_mem, rss_gb = 8, "28GB", 70.0
+    names: list[str] = []
+    i = 0
+    while i < len(rest):
+        if rest[i] == "--batch":
+            batch_n = int(rest[i + 1])
+            i += 2
+        elif rest[i] == "--duck-mem":
+            duck_mem = rest[i + 1]
+            i += 2
+        elif rest[i] == "--rss-gb":
+            rss_gb = float(rest[i + 1])
+            i += 2
+        else:
+            names.append(rest[i])
+            i += 1
+    with open(out_file, "a") as out:
+        out.write(
+            f"# sweep {sf_dir} — {len(names)} queries, batch={batch_n}, "
+            f"duck_mem={duck_mem}, rss_cap={rss_gb}GB\n"
+        )
+        out.flush()
+        t0 = time.time()
+        for k in range(0, len(names), batch_n):
+            batch = names[k : k + batch_n]
+            rc, killed = run_batch(sf_dir, batch, out, duck_mem, rss_gb)
+            out.write(
+                f"# batch {k // batch_n + 1}: rc={rc}"
+                + (" (WATCHDOG-KILLED)" if killed else "")
+                + "\n"
+            )
+            out.flush()
+        out.write(f"# sweep done in {time.time() - t0:.0f}s\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
