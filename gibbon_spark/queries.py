@@ -132,31 +132,33 @@ def money_sum(col, dp: int = 2):
     """Deterministic money-sum: round each row to 4 dp (+1e-9 keeps
     exactly-representable ties off the half boundary, where Spark rounds
     half-up and DuckDB half-even), sum EXACTLY as decimal (order-free),
-    then present as a ``dp``-decimal double. Per-row double math is
-    bit-identical across engines, so this is flake-proof where a raw
-    double sum can straddle a rounding boundary by ~1e-7 of parallel
-    reassociation. money_sum_sql is the oracle twin.
+    round to ``dp`` places IN DECIMAL SPACE, and only then present as a
+    double. Per-row double math is bit-identical across engines, the
+    decimal sum is exact, decimal rounding ties break half-away-from-
+    zero in BOTH engines (probed incl. negatives), and casting the same
+    exact dp-place decimal to double is correctly rounded in both — so
+    the presented double is bit-identical at ANY magnitude.
 
-    Nudge semantics (deliberate, documented per ADVICE r01): the outer
-    +1e-9 is applied AFTER the sum, so every presented figure is biased
-    up by 1e-9 pre-round, and for NEGATIVE totals a half-boundary value
-    rounds toward zero (round(-10.125+1e-9, 2) → -10.12) where plain
-    HALF_UP gives -10.13. Both engines compute the identical expression,
-    so parity holds; the asymmetry is accepted in exchange for a nudge
-    that is a pure constant (a sign()-conditional nudge would put a
-    branch in every aggregate's hot path for a 1e-9 presentational
-    difference on exactly-half negative cents)."""
-    return F.round(
-        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
-        + F.lit(1e-9),
-        dp,
+    The older form rounded AFTER a cast to double
+    (``round(CAST(sum AS DOUBLE) + 1e-9, dp)``): at sf10 the big money
+    sums reach ~1e13 where a double ULP is ~0.002, and the two engines'
+    round(double, 2) disagree on the SAME bit pattern — Spark rounds
+    the double's shortest decimal representation (BigDecimal.valueOf →
+    Double.toString) while DuckDB rounds its exact binary value, e.g.
+    decimal 10116031050223.8550 → double ...223.85499…, Spark .86 vs
+    DuckDB .85 (caught by the round-9 sf10 oracle sweep on q1/q7). No
+    outer nudge is needed in decimal space: exact decimals have no
+    representation fuzz, so ties are real ties, handled identically."""
+    return (
+        F.round(F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")), dp)
+        .cast("double")
     )
 
 
 def money_sum_sql(expr: str, dp: int = 2) -> str:
     return (
-        f"round(CAST(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))) "
-        f"AS DOUBLE) + 1e-9, {dp})"
+        f"CAST(round(sum(CAST(round(({expr}) + 1e-9, 4) AS DECIMAL(24,4))), "
+        f"{dp}) AS DOUBLE)"
     )
 
 
@@ -453,10 +455,10 @@ def q_ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            l_linestatus,
-           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
-           round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_base_price,
-           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_disc_price,
-           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_charge,
+           CAST(round(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_charge,
            round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_quantity) + 1e-9, 6) AS avg_qty,
            round(CAST(sum(CAST(round((l_extendedprice) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_extendedprice) + 1e-9, 6) AS avg_price,
            round(CAST(sum(CAST(round((l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(l_discount) + 1e-9, 6) AS avg_disc,
@@ -492,7 +494,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     """
     SELECT l.l_orderkey AS o_orderkey,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
+           CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -533,7 +535,7 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name,
            n.n_name,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
+           CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -826,7 +828,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outer_join_order_counts",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(CAST(coalesce(sum(CAST(round((o.o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 0) AS DOUBLE) + 1e-9, 2) AS total_spend
+           CAST(round(coalesce(sum(CAST(round((o.o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 0), 2) AS DOUBLE) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -847,10 +849,9 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 F.lit(0).cast("decimal(24,4)"),
-            ).cast("double")
-            + F.lit(1e-9),
+            ),
             2,
-        ).alias("total_spend"),
+        ).cast("double").alias("total_spend"),
     )
 
 
@@ -860,7 +861,7 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS n_custs,
            count(*) AS n_orders,
-           round(sum(DISTINCT o_totalprice), 2) AS sum_distinct_price
+           CAST(round(sum(DISTINCT CAST(round((o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_distinct_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -871,9 +872,12 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum_distinct(F.col("o_totalprice")), 2).alias(
-            "sum_distinct_price"
-        ),
+        F.round(
+            F.sum_distinct(
+                F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
+            ),
+            2,
+        ).cast("double").alias("sum_distinct_price"),
     )
 
 
@@ -931,7 +935,7 @@ def q_agg_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(CAST(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_qty
+           CAST(round(sum(CAST(round((l_quantity) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -949,7 +953,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(round((o_totalprice) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -959,7 +963,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _prep(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        money_sum(F.col("o_totalprice")).alias("sum_price"),
     )
 
 
@@ -1149,7 +1153,7 @@ def q_subqueries_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
+    SELECT CAST(round(sum(CAST(round((l_extendedprice * l_discount) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1678,7 +1682,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive",
     """
-    SELECT round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
+    SELECT CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
@@ -1804,7 +1808,7 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue,
+           CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1849,7 +1853,7 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS revenue
+           CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1903,7 +1907,7 @@ def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT substr(c.c_name, 10, 2) AS name_tag,
            count(*) AS n_custs,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           CAST(round(sum(CAST(round((c.c_acctbal) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -1924,7 +1928,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT substr(c.c_name, 10, 2) AS name_tag,
                count(*) AS n_custs,
-               round(sum(c.c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(round((c.c_acctbal) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -2003,7 +2007,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS nation,
            year(o.o_orderdate) AS o_year,
-           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS sum_profit
+           CAST(round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2076,7 +2080,7 @@ def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS total_revenue
+             CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2188,7 +2192,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE EXISTS (
       SELECT 1 FROM (
         SELECT l.l_suppkey,
-               round(CAST(sum(CAST(round((l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS qty
+               CAST(round(sum(CAST(round((l.l_quantity) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_name LIKE 'red%'
         GROUP BY l.l_suppkey
@@ -2368,7 +2372,7 @@ def q_map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
       SELECT l_partkey,
-             round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2) AS part_value
+             CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE) AS part_value
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value
@@ -3174,7 +3178,7 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(min(r4) AS DOUBLE) + 1e-9, 4) AS min_value,
            round(CAST(max(r4) AS DOUBLE) + 1e-9, 4) AS max_value,
            count(*) AS n_samples,
-           round(CAST(sum(r4) AS DOUBLE) + 1e-9, 2) AS sum_value,
+           CAST(round(sum(r4), 2) AS DOUBLE) AS sum_value,
            round(CAST(sum(r4) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_value
     FROM r GROUP BY event_type
     """,
@@ -3206,9 +3210,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value"
         ),
         "n_samples",
-        F.round(F.col("sum_value").cast("double") + F.lit(1e-9), 2).alias(
-            "sum_value"
-        ),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
         F.round(
             F.col("sum_value").cast("double") / F.col("n_samples") + F.lit(1e-9),
             6,
@@ -3542,10 +3544,9 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.round(
         F.sum(
             F.round(F.col("increase") + F.lit(1e-9), 4).cast("decimal(24,4)")
-        ).cast("double")
-        + F.lit(1e-9),
+        ),
         4,
-    )
+    ).cast("double")
     span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
     return inc.groupBy("user_id").agg(
         total.alias("total_increase"),
@@ -3909,8 +3910,7 @@ def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value,
-           round(CAST(sum(CAST(round(value + 1e-9, 4) AS DECIMAL(24,4)))
-                      AS DOUBLE) + 1e-9, 4) AS sum_4dp,
+           CAST(round(sum(CAST(round(value + 1e-9, 4) AS DECIMAL(24,4))), 4) AS DOUBLE) AS sum_4dp,
            max(CASE WHEN rn = 1 THEN value END) AS last_value
     FROM o GROUP BY user_id
     """,
@@ -4002,8 +4002,7 @@ def q_streaming_stateful_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS n_null_safe_eq,
            count(DISTINCT pr) AS n_distinct_pr,
            round(CAST(sum(CAST(round((p) + 1e-9, 4) AS DECIMAL(24,4))) AS DOUBLE) / count(p) + 1e-9, 6) AS avg_skipnull,
-           round(CAST(sum(CAST(round(coalesce(p, 0) + 1e-9, 4)
-                               AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+           CAST(round(sum(CAST(round(coalesce(p, 0) + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
              AS sum_coalesced
     FROM o
     """,

@@ -81,7 +81,7 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.sum("pn").alias("n_orders"),
-            F.round(F.sum("ps").cast("double") + F.lit(1e-9), 2).alias("revenue"),
+            F.round(F.sum("ps"), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -883,10 +883,8 @@ def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_orders",
     """
     SELECT o_orderkey, o_orderdate,
-           round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4)))
-                      OVER (ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE) + 1e-9, 2) AS running_revenue
+           CAST(round(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4))) OVER (ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
     FROM orders
     """,
 )
@@ -913,9 +911,7 @@ def q_running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey",
         "o_orderdate",
-        F.round(F.col("_run").cast("double") + F.lit(1e-9), 2).alias(
-            "running_revenue"
-        ),
+        F.round(F.col("_run"), 2).cast("double").alias("running_revenue"),
     )
 
 
@@ -1071,8 +1067,7 @@ def q_ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name,
            count(DISTINCT o.o_custkey) AS n_buyers,
-           round(CAST(sum(CAST(round(o.o_totalprice + 1e-9, 4)
-                               AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+           CAST(round(sum(CAST(round(o.o_totalprice + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
              AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1098,8 +1093,7 @@ def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n.n_name,
                count(DISTINCT o.o_custkey) AS n_buyers,
-               round(CAST(sum(CAST(round(o.o_totalprice + 1e-9, 4)
-                                   AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+               CAST(round(sum(CAST(round(o.o_totalprice + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
                  AS revenue
         FROM gs_orders o
         JOIN gs_customer c ON o.o_custkey = c.c_custkey

@@ -461,8 +461,7 @@ def _rfm_cut_sql(col: str, q: float) -> str:
              date_diff('day', CAST(max(o_orderdate) AS DATE),
                        DATE '{_RFM_ANCHOR}') AS r_days,
              count(*) AS freq,
-             round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4)
-                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+             CAST(round(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     ),
@@ -521,10 +520,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
-            ).cast("double")
-            + F.lit(1e-9),
+            ),
             2,
-        ).alias("monetary"),
+        ).cast("double").alias("monetary"),
     )
     cut_aggs = []
     for col in ("r_days", "freq", "monetary"):

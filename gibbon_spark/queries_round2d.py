@@ -816,16 +816,15 @@ def q_text_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     attributed AS (
       SELECT count(*) AS n_purchases_attributed,
-             round(CAST(sum(CAST(click_rev AS DECIMAL(24,4))) AS DOUBLE)
-                   + 1e-9, 2) AS revenue_click,
-             round(CAST(sum(CAST(view_rev AS DECIMAL(24,4))) AS DOUBLE)
-                   + 1e-9, 2) AS revenue_view
+             CAST(round(sum(CAST(click_rev AS DECIMAL(24,4))), 2) AS DOUBLE)
+               AS revenue_click,
+             CAST(round(sum(CAST(view_rev AS DECIMAL(24,4))), 2) AS DOUBLE)
+               AS revenue_view
       FROM shares
     ),
     unattributed AS (
       SELECT count(*) AS n_purchases_none,
-             round(CAST(sum(CAST(round(p.cents / 100.0 + 1e-9, 4)
-                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+             CAST(round(sum(CAST(round(p.cents / 100.0 + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
                AS revenue_none
       FROM p WHERE p.event_id NOT IN (SELECT event_id FROM j)
     )
@@ -898,11 +897,11 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributed = j.agg(
         F.count(F.lit(1)).alias("n_purchases_attributed"),
         F.round(
-            F.sum(click_rev.cast("decimal(24,4)")).cast("double") + F.lit(1e-9), 2
-        ).alias("revenue_click"),
+            F.sum(click_rev.cast("decimal(24,4)")), 2
+        ).cast("double").alias("revenue_click"),
         F.round(
-            F.sum(view_rev.cast("decimal(24,4)")).cast("double") + F.lit(1e-9), 2
-        ).alias("revenue_view"),
+            F.sum(view_rev.cast("decimal(24,4)")), 2
+        ).cast("double").alias("revenue_view"),
     )
     unattributed = (
         p.join(j.select("event_id"), "event_id", "left_anti")
@@ -914,10 +913,9 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("cents") / F.lit(100.0) + F.lit(1e-9), 4).cast(
                             "decimal(24,4)"
                         )
-                    ).cast("double")
-                    + F.lit(1e-9),
+                    ),
                     2,
-                ),
+                ).cast("double"),
                 F.lit(0.0),
             ).alias("revenue_none"),
         )
@@ -935,8 +933,7 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4)
-                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+             CAST(round(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
                AS revenue,
              count(*) AS n_orders
       FROM orders GROUP BY 1
@@ -963,10 +960,9 @@ def q_orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
-            ).cast("double")
-            + F.lit(1e-9),
+            ),
             2,
-        ).alias("revenue"),
+        ).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("month")
@@ -1058,8 +1054,7 @@ _SEAS_ANOM_TOL = 0.25
     WITH ym AS (
       SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
              CAST(extract(month FROM o_orderdate) AS INT) AS month,
-             round(CAST(sum(CAST(round(o_totalprice + 1e-9, 4)
-                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 2)
+             CAST(round(sum(CAST(round(o_totalprice + 1e-9, 4) AS DECIMAL(24,4))), 2) AS DOUBLE)
                AS revenue
       FROM orders GROUP BY 1, 2
     ),
@@ -1109,10 +1104,9 @@ def q_orders_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("decimal(24,4)")
-            ).cast("double")
-            + F.lit(1e-9),
+            ),
             2,
-        ).alias("revenue")
+        ).cast("double").alias("revenue")
     )
     mm = ym.groupBy("month").agg(
         F.round(
@@ -1194,8 +1188,7 @@ _RAKE_TOP_K = 20
     ),
     scored AS (
       SELECT dpw.phrase,
-             round(CAST(sum(CAST(round(ws.word_score + 1e-9, 4)
-                                 AS DECIMAL(24,4))) AS DOUBLE) + 1e-9, 4)
+             CAST(round(sum(CAST(round(ws.word_score + 1e-9, 4) AS DECIMAL(24,4))), 4) AS DOUBLE)
                AS rake_score
       FROM dpw JOIN ws USING (tok)
       GROUP BY dpw.phrase
@@ -1257,10 +1250,9 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("word_score") + F.lit(1e-9), 4).cast(
                         "decimal(24,4)"
                     )
-                ).cast("double")
-                + F.lit(1e-9),
+                ),
                 4,
-            ).alias("rake_score")
+            ).cast("double").alias("rake_score")
         )
     )
     return (

@@ -35,3 +35,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "n_samples" in df.columns
+
+
+def test_money_sum_presents_identically_at_1e13(spark, duck):
+    """Round-in-decimal-space discipline (sf10 sweep find): the exact
+    decimal sum 10116031050223.8550 casts to double ...223.85499…, and
+    on that SAME bit pattern Spark's round(double, 2) answers .86 (it
+    rounds the shortest decimal representation via BigDecimal.valueOf)
+    while DuckDB answers .85 (it rounds the exact binary value) — a
+    1-cent cross-engine split invisible below ~1e12 magnitudes (q1/q7/
+    cube_orders at sf10). money_sum/money_sum_sql must therefore round
+    in DECIMAL space and cast to double LAST, which both engines agree
+    on at any magnitude."""
+    from pyspark.sql import functions as F
+
+    from gibbon_spark.queries import money_sum, money_sum_sql
+
+    sdf = spark.createDataFrame(
+        [(10116031050223.0,), (0.855,)], "v double"
+    ).agg(money_sum(F.col("v")).alias("s"))
+    got_spark = sdf.collect()[0]["s"]
+    got_duck = duck.execute(
+        "SELECT "
+        + money_sum_sql("v")
+        + " AS s FROM (VALUES (10116031050223.0), (0.855)) t(v)"
+    ).fetchone()[0]
+    assert got_spark == got_duck == 10116031050223.86
