@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # The oracle harness collects FULL query outputs for hash
+        # comparison; at sf10 a multi-million-row result serializes past
+        # the 1g default (ts_downsample_m4: 24 tasks / 1058 MiB). 4g is
+        # a verification-harness allowance, not an engine requirement —
+        # production consumers write results with the sinks, they don't
+        # collect() them (docs/API.md "Deploying at 100 TB").
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
