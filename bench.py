@@ -143,7 +143,11 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 4)
-    cal_probes.append(_calibrate())  # end-of-run probe
+
+    def _rerun_min(name: str) -> None:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name], round(time.time() - t0, 4))
 
     # this box shares a host; a noisy-neighbor burst can inflate one or
     # two queries by 10-30s in a single pass. Re-run clear outliers
@@ -151,9 +155,29 @@ def main() -> None:
     # re-measuring the plan, not the neighbors.
     med = sorted(timings.values())[len(timings) // 2]
     for name in [n for n, t in timings.items() if t > max(4 * med, 2.0)]:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = min(timings[name], round(time.time() - t0, 4))
+        _rerun_min(name)
+
+    # round-10 (verdict r9 ask #2): noise-proof the MEASUREMENT, not just
+    # the detection. When the host is 2-4x loaded for a stretch of the
+    # loop, every query in that stretch inflates raw AND normalized
+    # together, so the r9 both-ratios flag rule cannot help — three
+    # rounds running, the official artifact contradicted the committed
+    # canonical run. Fix: any query whose first pass exceeded 1.3x its
+    # persisted per-query baseline is re-measured ONCE at end-of-run
+    # (after the load stretch has had the whole loop to subside) and the
+    # MIN of the passes is recorded; n_reruns is published so readers
+    # can see how much of the run needed rescue. A genuine plan
+    # regression reproduces on the second pass and stays flagged.
+    n_reruns = 0
+    if prev_queries:
+        for name in [
+            n
+            for n, t in timings.items()
+            if prev_queries.get(n, 0) > 0 and t > 1.3 * prev_queries[n] and t > 0.5
+        ]:
+            _rerun_min(name)
+            n_reruns += 1
+    cal_probes.append(_calibrate())  # end-of-run probe
 
     # median of the three interleaved probes; spread = max/min exposes
     # how noisy the host was across the run
@@ -195,6 +219,7 @@ def main() -> None:
         "calibration_spread": cal_spread,
         "normalized_total": normalized_total,
         "regressed": regressed,
+        "n_reruns": n_reruns,
     }
     print(json.dumps(detail))
     try:
@@ -214,6 +239,7 @@ def main() -> None:
             "calibration_spread": cal_spread,
             "normalized_total": normalized_total,
             "n_regressed": len(regressed),
+            "n_reruns": n_reruns,
         }
     )
     assert len(summary) < 300, f"summary line grew to {len(summary)} bytes"

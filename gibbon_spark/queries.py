@@ -49,50 +49,43 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate samples the FIRST 50 dict entries of
 # queries(). The window is ROTATED each round so that, cumulatively,
-# every registered family earns a driver-green CORRECTNESS row
-# (154/231 driver-verified through round 7). ROUND-9 window: the
-# driver never emitted CORRECTNESS_r08.json (only BENCH_r08 landed),
-# so per the round-8 verdict's own conditional the 44 round-8
-# first-evers KEEP their window slots — they still have no driver
-# hash. The 10 sentinel slots (driver-green r01-r07 anchors, already
-# multiply hash-confirmed) are released to make partial progress on
-# the coverage endgame: the round-9 sim_topk_ivf rows-only→hash-exact
-# conversion (RNG-free integer k-means++, full SQL index replay) + the
-# first 9 of the 37 remaining never-driver-sampled oracle-backed names
-# (SURVEY §8 item 8). The remaining 28 fit the round-10 window with
-# room for sentinels to return. Demoted names stay registered right
-# after the window for the full local gate and keep their earlier
-# driver-green rows as evidence.
+# every registered family earns a driver-green CORRECTNESS row.
+# ROUND-10 window — the coverage ENDGAME: CORRECTNESS_r09 landed
+# 50/50 green, so the 44 round-8/9 first-evers now hold driver
+# hashes and rotate out. The 28 names below are the LAST
+# never-driver-sampled oracle-backed queries in the registry
+# (SURVEY §8 round-9 delta (8)); once this window goes green, every
+# one of the 229 oracle-backed queries has a driver CORRECTNESS hash
+# at least once. The remaining 22 slots return multiply-green
+# cross-family sentinels (codec/ts, TPC-H, joins/aggs/set-ops,
+# scalar-function galleries, LLM-pipeline) as regression anchors.
+# Demoted names stay registered right after the window for the full
+# local gate and keep their earlier driver-green rows as evidence.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # round-9 rows-only -> hash-exact conversion (prove vs driver hash)
-    "sim_topk_ivf",
-    # never-sampled batch 1 of the final 37 (SURVEY §8 item 8)
-    "zorder_cluster_stats", "profile_orders", "histogram_prices",
-    "skew_salted_agg", "agg_mode_per_key", "window_rolling_distinct",
-    "percentiles_by_group", "percentiles_by_group_approx",
-    "revenue_concentration",
-    # round-8 rows-only -> hash-exact conversions (no driver hash yet)
-    "ts_xor_bits", "sim_topk_lsh", "codec_xoror_bits",
-    "gorilla_compression_ratio",
-    # never-sampled: iterative / numeric
-    "embedding_top_pc", "pagerank_nations", "kmeans_embeddings",
-    "graph_triangle_count", "bootstrap_ci_revenue", "abtest_value_z",
-    "abtest_cuped", "abtest_ks_distance", "ts_forecast_linear",
-    "ts_autocorr_lag", "corr_spearman_supplier", "recursive_supplier_chain",
-    # never-sampled: streaming tail
-    "streaming_sketch_hll", "streaming_static_enrich",
-    "streaming_topk_trending", "streaming_late_data_audit",
-    # never-sampled: ts_* analytics tail
-    "ts_ewma_fir", "ts_downsample_m4", "ts_anomaly_zscore", "ts_ohlc_1h",
-    "ts_rolling_median", "ts_asof_join_forward", "ts_seasonality_profile",
-    "ts_cusum_changepoints", "ts_bollinger_bands",
-    # never-sampled: similarity / codec twins
-    "sim_embedding_neardup_exact", "sim_lsh_bucket_histogram",
-    "sim_ivf_recall_check", "gorilla_ratio_check", "knn_graph_lsh",
-    "embedding_quantize_error",
-    # never-sampled: UDF surface / joins / multimodal
-    "udtf_token_chunks", "udaf_geometric_mean", "multimodal_video_frame_luma",
-    "bloom_prefilter_join", "skew_salted_join",
+    # --- final 28 never-driver-sampled names (coverage endgame) ---
+    "multimodal_frame_sample", "token_drift_splits", "equi_depth_bins",
+    "running_total_orders", "sql_api_nation_revenue", "dq_constraint_report",
+    "ts_sax_words", "basket_part_pairs", "interval_coverage_union",
+    "skew_key_stats", "pipeline_rag_corpus", "variant_props_stats",
+    "cogroup_order_reconciliation", "agg_trimmed_mean", "skyline_orders",
+    "orders_seasonal_index", "fuzzy_match_partnames", "geo_grid_nearest",
+    "benford_digit_audit", "rfm_segments", "table_diff_checksum",
+    "ts_hampel_filter", "event_path_trigrams", "orders_growth_mom",
+    "orders_seasonal_anomaly", "text_rake_keywords",
+    "shipping_delay_histogram", "brand_price_qty_slope",
+    # --- 22 returning sentinels (multiply driver-green anchors) ---
+    # codec / time-series
+    "ts_summary", "ts_delta_of_delta", "ts_asof_join", "ts_gap_fill",
+    # TPC-H core
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q4_order_priority", "q14_promo_ratio", "q18_large_orders",
+    # joins / aggs / set ops / window
+    "outer_join_order_counts", "semi_anti_join", "rollup_lineitem",
+    "cube_orders", "pivot_events", "set_ops_customers",
+    "window_rank_orders",
+    # scalar-function + LLM-pipeline families
+    "scalar_string_math", "json_extract_events", "dedup_exact",
+    "dedup_minhash_lsh", "sim_topk_bruteforce",
 )
 
 

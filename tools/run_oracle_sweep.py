@@ -41,9 +41,11 @@ def _tree_rss_kb(pid: int) -> int:
         p = int(entry)
         try:
             with open(f"/proc/{p}/stat") as f:
-                parts = f.read().split()
-            ppid = int(parts[3])
-        except OSError:
+                data = f.read()
+            # comm (field 2) may itself contain spaces/parens — split
+            # after the LAST ')' so field indexing is unambiguous.
+            ppid = int(data.rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
             continue
         pids.append(p)
         children.setdefault(ppid, []).append(p)
