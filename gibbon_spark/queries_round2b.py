@@ -1082,54 +1082,90 @@ def q_sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PC_DIMS = 64
 _PC_ITERS = 4
 _PC_TOP_COMPONENTS = 8
+_PC_QUANT = 10_000  # 1e-4 coordinate grid (the IVF_QUANT discipline)
+_PC_VQ = 100_000_000  # 1e-8 grid for the iterated direction vector
 
 
 def _pc_oracle_sql() -> str:
-    """Unrolled power-iteration oracle: the same quantized arithmetic
-    (every sum is DECIMAL(30,8) of round(x + 1e-9, 8) terms — order-free
-    and engine-exact) as the Spark plan, one CTE block per iteration."""
-    d = _PC_DIMS
-    q = "CAST(round(({x}) + 1e-9, 8) AS DECIMAL(30,8))"
+    """Gram-matrix power-iteration oracle, HUGEINT-exact (round-10
+    rewrite — verdict r9 ask #3). Replays the engine's arithmetic
+    verbatim:
+
+    - coordinates quantized ONCE to the 1e-4 integer grid
+      (``floor(e*10000 + 0.5)``) — identical IEEE expression on both
+      engines;
+    - Gram matrix G = QᵀQ by exact integer sums (HUGEINT; order-free,
+      so the oracle's serial sum equals Spark's parallel sum bit-for-
+      bit);
+    - each power-iteration round is w = G·v (exact HUGEINT), then the
+      direction renormalizes on the 1e-8 grid by max-|w|:
+      ``floor(w/wmax * 1e8 + 0.5)`` evaluated in DOUBLE — int→double
+      casts and the division are correctly rounded IEEE ops, bit-equal
+      across engines given equal integers;
+    - final L2 normalization / sigma happen on the 64-row frame with
+      the usual DECIMAL(30,8) quantized-term sums.
+
+    Overflow budget (all exact): |q| ≤ 1e4, G ≤ 1e8·n, w ≤ 64·G·1e8 =
+    6.4e17·n — inside HUGEINT (1.7e38) until n ~ 2.6e20 vectors."""
+    d, vq0 = _PC_DIMS, _PC_VQ // 8  # v0 = 1/8·𝟙 on the 1e-8 grid
     parts = [
         f"""
-    WITH expl AS (
-      SELECT vec_id AS i, j, CAST(embedding[j] AS DOUBLE) AS e
+    WITH q AS (
+      SELECT vec_id AS i, j,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * {_PC_QUANT} + 0.5)
+                  AS BIGINT) AS qe
       FROM embeddings, LATERAL unnest(range(1, {d} + 1)) AS t(j)
     ),
-    v0 AS (SELECT j, CAST(1.0 / 8.0 AS DOUBLE) AS v
+    g AS (
+      SELECT a.j AS j, b.j AS k, sum(CAST(a.qe AS HUGEINT) * b.qe) AS g
+      FROM q a JOIN q b USING (i) GROUP BY a.j, b.j
+    ),
+    v0 AS (SELECT j, CAST({vq0} AS BIGINT) AS vq
            FROM range(1, {d} + 1) AS t(j))"""
     ]
     prev = "v0"
-    for k in range(1, _PC_ITERS + 1):
-        sc = q.format(x="expl.e * v.v")
-        wc = q.format(x="CAST(s.s AS DOUBLE) * expl.e")
-        n2 = q.format(x="CAST(w.w AS DOUBLE) * CAST(w.w AS DOUBLE)")
+    for it in range(1, _PC_ITERS + 1):
         parts.append(
             f""",
-    s{k} AS (
-      SELECT expl.i, sum({sc}) AS s
-      FROM expl JOIN {prev} v USING (j) GROUP BY expl.i
+    w{it} AS (
+      SELECT g.j, sum(g.g * v.vq) AS w
+      FROM g JOIN {prev} v ON v.j = g.k GROUP BY g.j
     ),
-    w{k} AS (
-      SELECT expl.j, sum({wc}) AS w
-      FROM expl JOIN s{k} s ON s.i = expl.i GROUP BY expl.j
-    ),
-    n{k} AS (SELECT sum({n2}) AS n2 FROM w{k} w),
-    v{k} AS (
+    m{it} AS (SELECT max(abs(w)) AS wmax FROM w{it}),
+    v{it} AS (
       SELECT w.j,
-             round(CAST(w.w AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) + 1e-9, 8)
-               AS v
-      FROM w{k} w, n{k} n)"""
+             CAST(floor(CAST(w.w AS DOUBLE) / CAST(m.wmax AS DOUBLE)
+                        * {float(_PC_VQ)} + 0.5) AS BIGINT) AS vq
+      FROM w{it} w, m{it} m)"""
         )
-        prev = f"v{k}"
+        prev = f"v{it}"
+    last, vin = f"w{_PC_ITERS}", f"v{_PC_ITERS - 1}"
+    qd = "CAST(round(({x}) + 1e-9, 8) AS DECIMAL(30,8))"
+    scale = float(_PC_QUANT * _PC_QUANT) * float(_PC_VQ)
     parts.append(
-        f"""
-    SELECT v.j AS dim,
-           v.v AS component,
-           round(sqrt(sqrt(CAST(n.n2 AS DOUBLE))) + 1e-9, 6) AS sigma,
+        f""",
+    f AS (
+      SELECT w.j,
+             CAST(w.w AS DOUBLE) / CAST(m.wmax AS DOUBLE) AS ud,
+             CAST(w.w AS DOUBLE) / {float(_PC_QUANT * _PC_QUANT)}
+               / {float(_PC_VQ)} AS wdo,
+             CAST(v.vq AS DOUBLE) / {float(_PC_VQ)} AS vd
+      FROM {last} w, m{_PC_ITERS} m, {vin} v
+      WHERE v.j = w.j
+    ),
+    n AS (
+      SELECT sum({qd.format(x='ud * ud')}) AS un2,
+             sum({qd.format(x='wdo * wdo')}) AS wn2,
+             sum({qd.format(x='vd * vd')}) AS vn2
+      FROM f
+    )
+    SELECT f.j AS dim,
+           round(f.ud / sqrt(CAST(n.un2 AS DOUBLE)) + 1e-9, 8) AS component,
+           round(sqrt(sqrt(CAST(n.wn2 AS DOUBLE))
+                      / sqrt(CAST(n.vn2 AS DOUBLE))) + 1e-9, 6) AS sigma,
            (SELECT count(*) FROM embeddings) AS n_vectors
-    FROM v{_PC_ITERS} v, n{_PC_ITERS} n
-    ORDER BY abs(v.v) DESC, v.j
+    FROM f, n
+    ORDER BY abs(component) DESC, dim
     LIMIT {_PC_TOP_COMPONENTS}"""
     )
     return "".join(parts)
@@ -1137,83 +1173,137 @@ def _pc_oracle_sql() -> str:
 
 @query("embedding_top_pc", _pc_oracle_sql())
 def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus by DISTRIBUTED
-    power iteration — the iterative linear-algebra pattern (PCA /
-    spectral methods / PageRank-style eigensolvers) expressed as
-    DataFrame ops. Each round computes scores s = A·v (per-vector
-    quantized-decimal dot), back-projects w = Aᵀ·s (per-dimension
-    weighted sum), and renormalizes v = w/||w||; four rounds from the
-    deterministic v0 = 1/8·𝟙 (unit-norm for d=64). EVERY sum is a
-    DECIMAL(30,8) aggregate of round(x+1e-9, 8) terms — order-free, so
-    the result is bit-identical at any parallelism and replayable by
-    the unrolled SQL oracle; sqrt is IEEE-correctly-rounded. Emits the
-    8 largest-magnitude components plus the singular-value estimate
-    sigma = ||AᵀA·v||^(1/2) (the fourth root of the last squared norm —
-    two correctly-rounded sqrts, engine-stable; at convergence
-    ||AᵀA·v|| -> sigma_1^2).
+    """Top principal direction of the embedding corpus — round-10
+    rewrite (verdict r9 ask #3): ONE distributed pass computes the d×d
+    Gram matrix AᵀA, then the power iteration runs on that 64×64
+    summary instead of re-shuffling the exploded corpus twice per
+    round (the old plan: 8 corpus exchanges; this plan: 1).
 
-    Scale posture: the corpus is touched only through two keyed
-    aggregations per round (explode to (i, j, e), sum by i, sum by j —
-    map-side combine on both); v is 64 rows broadcast to both joins,
-    and each round's v is localCheckpoint'd so the iteration adds O(1)
-    plan depth. The 1-row norm joins via broadcast (allow-listed O(n)
-    scalar fan-out). Per-round cost is two shuffles of n·d narrow rows
-    regardless of iteration count — the same posture as
-    pagerank_nations."""
+    - The only corpus-touching stage is an Arrow-batched integer GEMM
+      (``mapInPandas``): each batch quantizes its block to the 1e-4
+      grid (``floor(e*1e4 + 0.5)``, exact int64 — the IVF_QUANT
+      discipline) and emits its 64×64 partial QᵀQ plus one count row;
+      the groupBy that merges partials shuffles only
+      n_partitions × 4,097 tiny rows, with map-side combine. Partial
+      sums ride int64 (≤1e8·batch_rows); the merge sums DECIMAL(38,0),
+      exact to 1e38.
+    - The iteration itself runs DRIVER-SIDE on the collected Gram
+      matrix in arbitrary-precision Python ints — 4,097 values, ~32 KB
+      of bounded driver state regardless of corpus size (the
+      ivf_train_centroids precedent). Each round: w = G·v exactly,
+      then renormalize on the 1e-8 grid by max|w| via
+      ``floor(w/wmax·1e8 + 0.5)`` in IEEE double — int→double casts
+      and division are correctly rounded, so DuckDB replays the whole
+      trajectory bit-for-bit in HUGEINT + DOUBLE (see _pc_oracle_sql).
+    - Final L2 normalization + sigma = sqrt(‖AᵀAv‖/‖v‖) evaluate on a
+      64-row frame with DECIMAL(30,8) quantized-term norms; output
+      contract unchanged (top-8 |component|, sigma, n_vectors).
+
+    A/B at sf0.1 (local[32], warm): 6.4 s → see commit message;
+    executed-plan exchanges 8 → 1. At 100 TB the old plan's 8
+    all-corpus shuffles become the dominant cost; this plan reads the
+    corpus once and shuffles only 64×64 partials per partition —
+    iteration count no longer multiplies corpus passes."""
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
     (emb,) = _prep(spark, sf_dir, "embeddings")
+    d, quant, vq_scale = _PC_DIMS, _PC_QUANT, _PC_VQ
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(x * quant + 0.5).astype(np.int64)
+            g = q.T @ q  # exact int64: |terms| ≤ 1e8 · batch_rows
+            jj, kk = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "j": np.append(jj.ravel(), 0),
+                    "k": np.append(kk.ravel(), 0),
+                    "g": np.append(g.ravel(), len(pdf)),  # (0,0) = count
+                }
+            )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(gram_partials, "j int, k int, g long")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+        .collect()
+    )
+    gmat = [[0] * d for _ in range(d)]
+    n_vectors = 0
+    for r in parts:
+        if r["j"] == 0:
+            n_vectors = int(r["g"])
+        else:
+            gmat[r["j"] - 1][r["k"] - 1] = int(r["g"])
+
+    # exact-integer power iteration; mirrors the oracle's CTE chain
+    vq = [vq_scale // 8] * d  # v0 = 1/8·𝟙 on the 1e-8 grid
+    w = vq
+    vq_in = vq
+    for _ in range(_PC_ITERS):
+        vq_in = vq
+        w = [sum(gmat[j][k] * vq[k] for k in range(d)) for j in range(d)]
+        wmax = max(abs(x) for x in w)
+        assert wmax > 0, "power iteration collapsed to the zero vector"
+        vq = [
+            math.floor(float(x) / float(wmax) * float(vq_scale) + 0.5) for x in w
+        ]
+
+    frame = spark.createDataFrame(
+        [(j + 1, Decimal(w[j]), vq_in[j]) for j in range(d)],
+        "dim long, w decimal(38,0), vq long",
+    )
 
     def q8(col):
         return F.round(col + F.lit(1e-9), 8).cast("decimal(30,8)")
 
-    expl = emb.select(
-        F.col("vec_id").alias("i"),
-        F.posexplode(F.col("embedding")).alias("pos", "ef"),
-    ).select("i", (F.col("pos") + 1).alias("j"), F.col("ef").cast("double").alias("e"))
-    v = spark.range(1, _PC_DIMS + 1).select(
-        F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("v")
+    # wmax inlined as a literal: the driver holds the exact integers, and
+    # float(max|w|) equals both engines' correctly-rounded int→double cast
+    # (max/abs commute with the monotone cast) — saves re-aggregating the
+    # frame twice for a scalar the iteration already computed.
+    wmax_d = float(max(abs(x) for x in w))
+    f = frame.select(
+        "dim",
+        (F.col("w").cast("double") / F.lit(wmax_d)).alias("ud"),
+        (
+            F.col("w").cast("double")
+            / F.lit(float(quant * quant))
+            / F.lit(float(vq_scale))
+        ).alias("wdo"),
+        (F.col("vq").cast("double") / F.lit(float(vq_scale))).alias("vd"),
     )
-    last_norm = None
-    for _ in range(_PC_ITERS):
-        s = (
-            expl.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(q8(F.col("e") * F.col("v"))).alias("s"))
-        )
-        w = (
-            expl.join(s, "i")
-            .groupBy("j")
-            .agg(F.sum(q8(F.col("s").cast("double") * F.col("e"))).alias("w"))
-        )
-        n1 = w.agg(
-            F.sum(q8(F.col("w").cast("double") * F.col("w").cast("double"))).alias(
-                "n2"
-            )
-        )
-        v = (
-            w.join(F.broadcast(n1))
-            .select(
-                "j",
-                F.round(
-                    F.col("w").cast("double")
-                    / F.sqrt(F.col("n2").cast("double"))
-                    + F.lit(1e-9),
-                    8,
-                ).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        last_norm = n1
-    nvec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    norms = f.agg(
+        F.sum(q8(F.col("ud") * F.col("ud"))).alias("un2"),
+        F.sum(q8(F.col("wdo") * F.col("wdo"))).alias("wn2"),
+        F.sum(q8(F.col("vd") * F.col("vd"))).alias("vn2"),
+    )
     return (
-        v.join(F.broadcast(last_norm))
-        .join(F.broadcast(nvec))
+        f.crossJoin(F.broadcast(norms))
         .select(
-            F.col("j").alias("dim"),
-            F.col("v").alias("component"),
+            "dim",
             F.round(
-                F.sqrt(F.sqrt(F.col("n2").cast("double"))) + F.lit(1e-9), 6
+                F.col("ud") / F.sqrt(F.col("un2").cast("double")) + F.lit(1e-9), 8
+            ).alias("component"),
+            F.round(
+                F.sqrt(
+                    F.sqrt(F.col("wn2").cast("double"))
+                    / F.sqrt(F.col("vn2").cast("double"))
+                )
+                + F.lit(1e-9),
+                6,
             ).alias("sigma"),
-            "n_vectors",
+            F.lit(n_vectors).cast("long").alias("n_vectors"),
         )
         .orderBy(F.abs(F.col("component")).desc(), "dim")
         .limit(_PC_TOP_COMPONENTS)

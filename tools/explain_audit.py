@@ -60,8 +60,8 @@ ALLOWED_NESTED_LOOP = {
     # three 1-row scalar aggregates combined into the single result row
     # — O(1) broadcast joins
     "graph_triangle_count",
-    # per-iteration 1-row norm broadcast onto the 64-row direction
-    # vector, plus the final scalar combine — O(d) fan-out
+    # 1-row quantized-norm triple broadcast onto the 64-row final
+    # direction frame — O(d) scalar combine (r10 Gram rewrite)
     "embedding_top_pc",
     # 1-row bootstrap-spread stats broadcast onto the 1-row point
     # estimate — O(1) scalar combine
