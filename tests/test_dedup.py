@@ -273,3 +273,43 @@ def test_lsh_band_stats_exact_counts(spark):
         assert r.pairs_cut_at_2 >= r.pairs_cut_at_4
         # singletons + multi-member buckets account for all buckets
         assert r.n_singleton <= r.n_buckets
+
+
+def test_lsh_cap_recall_budget_sf1(spark):
+    """Contract test for the LSH_MAX_BUCKET cap (r9 verdict ask #6):
+    the cap is a RECALL trade, and its cost must stay inside a stated
+    budget instead of drifting silently as corpora grow. At sf1 (50k
+    docs, the generated scale corpus) the pair mass a max_bucket=64 cap
+    would cut must be <= 0.1% of the total candidate-pair mass across
+    bands (measured: 0 through sf3; the cap first binds at sf10 at
+    ~0.03% — SCALE.md telemetry). If this fails, the corpus shape
+    changed: re-run lsh_band_stats, re-pick the cap from the new
+    telemetry, and update SCALE.md — do not just raise the budget.
+
+    Generates scaledata/sf1 via tools/gen_scale_data.py on first run
+    (deterministic, ~1 min); later runs reuse the cached parquet."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1 = os.path.join(repo, "scaledata", "sf1")
+    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "gen_scale_data.py"),
+             "1", sf1],
+            check=True, cwd=repo, timeout=600,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    docs = spark.read.parquet(os.path.join(sf1, "documents.parquet"))
+    stats = dedup.lsh_band_stats(
+        docs, size_thresholds=(dedup.LSH_MAX_BUCKET,)
+    ).collect()
+    total = sum(r.total_pairs for r in stats)
+    cut = sum(r[f"pairs_cut_at_{dedup.LSH_MAX_BUCKET}"] for r in stats)
+    assert total > 0
+    # stated budget: 0.1% of candidate-pair mass
+    assert cut <= 0.001 * total, (
+        f"LSH cap now cuts {cut}/{total} pairs "
+        f"({100.0 * cut / total:.3f}%) at sf1 — over the 0.1% budget"
+    )
