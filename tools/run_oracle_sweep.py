@@ -13,7 +13,7 @@ solo or restated.
 
 Usage:
     python tools/run_oracle_sweep.py <sf_dir> <out_file> [--batch N]
-        [--duck-mem 28GB] [--rss-gb 70] <name...>
+        [--duck-mem 28GB] [--rss-gb 70] [--timeout-s 2400] <name...>
 
 Appends per-query PASS/FAIL lines (oracle_check.py's own output) plus a
 final summary to <out_file>.
@@ -70,7 +70,12 @@ def _tree_rss_kb(pid: int) -> int:
 
 
 def run_batch(
-    sf_dir: str, names: list[str], out, duck_mem: str, rss_cap_gb: float
+    sf_dir: str,
+    names: list[str],
+    out,
+    duck_mem: str,
+    rss_cap_gb: float,
+    batch_timeout_s: float = 2400.0,
 ) -> tuple[int, bool]:
     env = dict(os.environ, GS_ORACLE_DUCK_MEM=duck_mem)
     proc = subprocess.Popen(
@@ -87,13 +92,22 @@ def run_batch(
     def watchdog() -> None:
         nonlocal killed
         cap_kb = int(rss_cap_gb * 1024 * 1024)
+        t_start = time.time()
         while proc.poll() is None:
+            # wall-clock cap (round-10): a single super-linear naive
+            # oracle (e.g. a quadratic NOT EXISTS at sf10) would stall
+            # the whole sweep forever — the RSS cap never fires on a
+            # CPU-bound stall. Kill and record, so the batch's names
+            # can be retried solo or restated via
+            # tools/sf3_feasible_oracles.py.
+            reason = None
             if _tree_rss_kb(proc.pid) > cap_kb:
+                reason = f"tree RSS exceeded {rss_cap_gb} GB"
+            elif time.time() - t_start > batch_timeout_s:
+                reason = f"wall clock exceeded {batch_timeout_s:.0f}s"
+            if reason:
                 killed = True
-                out.write(
-                    f"WATCHDOG KILL batch {names} — tree RSS exceeded "
-                    f"{rss_cap_gb} GB\n"
-                )
+                out.write(f"WATCHDOG KILL batch {names} — {reason}\n")
                 out.flush()
                 os.killpg(proc.pid, signal.SIGKILL)
                 return
@@ -113,7 +127,7 @@ def main() -> int:
         return 1
     sf_dir, out_file = args[0], args[1]
     rest = args[2:]
-    batch_n, duck_mem, rss_gb = 8, "28GB", 70.0
+    batch_n, duck_mem, rss_gb, timeout_s = 8, "28GB", 70.0, 2400.0
     names: list[str] = []
     i = 0
     while i < len(rest):
@@ -125,6 +139,9 @@ def main() -> int:
             i += 2
         elif rest[i] == "--rss-gb":
             rss_gb = float(rest[i + 1])
+            i += 2
+        elif rest[i] == "--timeout-s":
+            timeout_s = float(rest[i + 1])
             i += 2
         else:
             names.append(rest[i])
@@ -138,7 +155,9 @@ def main() -> int:
         t0 = time.time()
         for k in range(0, len(names), batch_n):
             batch = names[k : k + batch_n]
-            rc, killed = run_batch(sf_dir, batch, out, duck_mem, rss_gb)
+            rc, killed = run_batch(
+                sf_dir, batch, out, duck_mem, rss_gb, timeout_s
+            )
             out.write(
                 f"# batch {k // batch_n + 1}: rc={rc}"
                 + (" (WATCHDOG-KILLED)" if killed else "")
