@@ -340,6 +340,14 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftright(den, e)") >= F.col("a"), F.col("e")
         ).otherwise(F.col("e") - 1).alias("s"),
     )
+    # per_doc feeds BOTH the threshold histogram and the final output;
+    # without a materialization Spark replays the whole pipeline
+    # (corpus scan -> bigram explode -> two LM joins -> doc agg) TWICE
+    # per action. Same measured rationale as the dedup prefix-filter
+    # shingle checkpoint (operators/dedup.py:150): store the doc-keyed
+    # aggregate (one narrow row per doc) once, read it from blocks in
+    # both consumers. Integer-exact values, so the oracle replay is
+    # unaffected.
     per_doc = (
         surp.groupBy("doc_id")
         .agg(
@@ -349,6 +357,7 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ppl_bucket", F.expr("(total_surprisal * 100) div n_bigrams")
         )
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
