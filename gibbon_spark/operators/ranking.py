@@ -48,8 +48,16 @@ def global_running_sum(
     """
     spark = df.sparkSession
     n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    by_range = df.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # the range-shuffled frame feeds BOTH the per-partition cumsum and
+    # the offset table; checkpoint it once so the upstream subtree (and
+    # the range shuffle itself) doesn't replay per consumer, and so the
+    # partition ids both consumers see are pinned to one materialized
+    # layout (dedup.py:150 measured rationale for localCheckpoint over
+    # persist).
+    by_range = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = by_range.withColumn("_lsum", F.sum(value).over(w_local))

@@ -2241,10 +2241,19 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~pre, F.col("yi").cast(d38))).cast("double").alias("sy"),
         )
     )
-    u = per_user.filter((F.col("nx") > 0) & (F.col("ny") > 0)).select(
-        "arm",
-        F.floor(F.col("sx") / F.col("nx") + 0.5).cast("bigint").alias("xq"),
-        F.floor(F.col("sy") / F.col("ny") + 0.5).cast("bigint").alias("yq"),
+    # the user-level frame feeds BOTH the global-moment pass (g) and
+    # the adjustment join (adj) — without a materialization each
+    # consumer replays the events scan + user-keyed shuffle, i.e. the
+    # one expensive exchange runs twice. Checkpoint the narrow
+    # one-row-per-user frame once (dedup.py:150 rationale).
+    u = (
+        per_user.filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "arm",
+            F.floor(F.col("sx") / F.col("nx") + 0.5).cast("bigint").alias("xq"),
+            F.floor(F.col("sy") / F.col("ny") + 0.5).cast("bigint").alias("yq"),
+        )
+        .localCheckpoint(eager=False)
     )
     g = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2289,7 +2298,7 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ay2"),
         F.first("theta").alias("theta"),
         F.first("n").alias("n_users"),
-    )
+    ).localCheckpoint(eager=False)  # 2 rows; read by both arm slices
     a = arms.filter(F.col("arm") == "A").select(
         F.col("cnt").alias("na"),
         F.col("ry1").alias("ra1"),

@@ -504,10 +504,14 @@ def q_abtest_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("ca"),
         F.sum((~F.col("is_a")).cast("long")).alias("cb"),
     )
-    # two-level global cumsum of (ca, cb) in yi order — no whole-frame window
+    # two-level global cumsum of (ca, cb) in yi order — no whole-frame
+    # window. The range-shuffled frame feeds both the local cumsum and
+    # the offset table: checkpoint once (ranking.py rationale).
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    by_range = g.repartitionByRange(n_parts, F.col("yi")).withColumn(
-        "_pid", F.spark_partition_id()
+    by_range = (
+        g.repartitionByRange(n_parts, F.col("yi"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy("yi")
     local = by_range.withColumn("_la", F.sum("ca").over(w_local)).withColumn(
@@ -528,10 +532,9 @@ def q_abtest_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_ob"), F.lit(0)) + F.col("_lb")).alias("cumb"),
         )
     )
-    t = assign.agg(
-        F.sum(F.col("is_a").cast("long")).alias("na"),
-        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
-    )
+    # arm totals from the already-grouped frame — a second full events
+    # scan would re-read the corpus for two numbers g already holds
+    t = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     dev = F.abs(
         F.col("cuma").cast("decimal(38,0)") * F.col("nb")
         - F.col("cumb").cast("decimal(38,0)") * F.col("na")
@@ -606,6 +609,10 @@ def q_weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("flag", "v")
         .agg(F.sum("w").alias("wv"))
+        # feeds both the two-level cumsum and the per-flag totals:
+        # checkpoint the pre-shrunk distinct-(flag, v) frame so the
+        # lineitem scan + groupBy run once (ranking.py rationale)
+        .localCheckpoint(eager=False)
     )
     # (flag, v) is unique in g, so it is a total order — the requirement
     # of the two-level decomposition.
