@@ -4307,13 +4307,16 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s")
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # local ranks and partition offsets both read this exchange; the
-    # identical subplan becomes a ReusedExchange, so both sides see the
-    # same range boundaries (and the range sampler is deterministic on
-    # deterministic input regardless).
-    by_range = spend.repartitionByRange(
-        n_parts, F.desc("s"), F.asc("o_custkey")
-    ).withColumn("_pid", F.spark_partition_id())
+    # local ranks and partition offsets both read this frame; checkpoint
+    # it once so the orders scan + spend aggregate + range shuffle don't
+    # replay per consumer (ReuseExchange does NOT fire here — the two
+    # consumers project differently; verified reused:0 in the executed
+    # plan), and both sides see one pinned partition layout.
+    by_range = (
+        spend.repartitionByRange(n_parts, F.desc("s"), F.asc("o_custkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     w_local = Window.partitionBy("_pid").orderBy(F.desc("s"), F.asc("o_custkey"))
     local = by_range.withColumn("_lrn", F.row_number().over(w_local))
     # P rows: per-range-partition count + exact-decimal revenue. The

@@ -1143,6 +1143,10 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same generated SQL pieces, so this checks the COMPOSITION, not
     just the parts."""
     (docs,) = _prep(spark, sf_dir, "documents")
+    # the corpus feeds both the dedup stage and the quality stage:
+    # materialize the pruned projection once so the text column is
+    # read from parquet once (dedup.py:150 rationale)
+    docs = docs.select("doc_id", "lang", "text").localCheckpoint(eager=False)
     pairs = dedup.minhash_lsh_pairs(
         docs, num_hashes=12, bands=4, min_est=0.5,
         max_bucket=dedup.LSH_MAX_BUCKET,
@@ -1692,7 +1696,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 10
     )
-    tagged = docs.withColumn("__b", bucket)
+    # the tagged corpus feeds four consumers (index hashes, incoming
+    # hashes, and both signature builds — the cross operator checkpoints
+    # signatures but not its callers' scans): materialize the split
+    # input once so the text column is read from parquet once, not 4x
+    # (dedup.py:150 rationale).
+    tagged = docs.withColumn("__b", bucket).localCheckpoint(eager=False)
     index = tagged.filter(F.col("__b") < 8)
     incoming = tagged.filter(F.col("__b") >= 8)
 

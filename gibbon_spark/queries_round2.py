@@ -1591,15 +1591,23 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ratios). One distinct pass, one frequency aggregate,
     a keyed self-join on the basket id, and a 1-row total broadcast."""
     (li,) = _prep(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # items feeds freq, the pair join, and the basket total (3
+    # consumers); fitems feeds both self-join sides. Checkpoint each
+    # narrow frame once so the lineitem scan + distinct shuffle run
+    # once (dedup.py:150 rationale).
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     freq = (
         items.groupBy("part")
         .agg(F.count(F.lit(1)).alias("part_n"))
         .filter(F.col("part_n") >= _BASKET_MIN_SUPPORT)
     )
-    fitems = items.join(freq, "part")
+    fitems = items.join(freq, "part").localCheckpoint(eager=False)
     a = fitems.select(
         F.col("okey"), F.col("part").alias("part_a"), F.col("part_n").alias("n_a")
     )

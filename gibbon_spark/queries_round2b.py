@@ -1018,10 +1018,13 @@ def q_sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registers alone at true scale (it exists here to make the
     oracle self-checking)."""
     (events,) = _prep(spark, sf_dir, "events")
+    # ud feeds the day list, the register build, AND the exact-WAU
+    # rider: checkpoint the deduped (day, user) frame once so the
+    # events scan + distinct shuffle run once (dedup.py:150 rationale)
     ud = events.select(
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
         "user_id",
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     days = ud.select("d").distinct()
     hexid = F.md5(F.col("user_id").cast("string"))
     v = F.conv(F.substring(hexid, 3, 13), 16, 10).cast("bigint")

@@ -862,12 +862,16 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti join directly)."""
     (events,) = _prep(spark, sf_dir, "events")
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # p feeds the touch join AND the unattributed anti join; j feeds
+    # the attributed rollup AND the anti join's right side. Checkpoint
+    # both narrow per-purchase frames so the events scan and the
+    # user-keyed range join run once each (dedup.py:150 rationale).
     p = events.where(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     t = events.where(F.col("event_type").isin("click", "view")).select(
         F.col("user_id").alias("t_user"),
         F.col("ts").alias("t_ts"),
@@ -888,6 +892,7 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_t"),
             F.sum((F.col("channel") == "click").cast("long")).alias("n_click"),
         )
+        .localCheckpoint(eager=False)
     )
     click_rev = F.round(
         F.col("cents") * F.col("n_click") / (F.lit(100.0) * F.col("n_t"))
@@ -1228,25 +1233,35 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # ns feeds the phrase build AND the word-degree join; phrases feeds
+    # that join AND the distinct-phrase counts; dp feeds the phrase
+    # explode AND the final join. Checkpoint each once so the corpus
+    # tokenization + doc-keyed window run once (dedup.py:150 rationale;
+    # ns is token-stream-sized — the same linear-table trade as the
+    # dedup shingle checkpoint).
     ns = tok.where(~F.col("tok").isin(*_RAKE_STOPWORDS)).withColumn(
         "grp",
         F.col("pos")
         - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
-    )
+    ).localCheckpoint(eager=False)
     phrases = ns.groupBy("doc_id", "grp").agg(
         F.expr(
             "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
             " s -> s.tok))"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    )
+    ).localCheckpoint(eager=False)
     pw = ns.join(phrases, ["doc_id", "grp"]).select("tok", "plen")
     ws = pw.groupBy("tok").agg(
         F.round(
             F.sum("plen").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
         ).alias("word_score")
     )
-    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dp = (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .localCheckpoint(eager=False)
+    )
     dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
     scored = (
         dpw.join(ws, "tok")
