@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.queries()["ts_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-window rotation lives in gibbon_spark.queries.PRIORITY_WINDOW
+# Driver-window rotation lives in gibbon_spark.queries.priority_window()
 # (the registry front-loads it; the driver samples the first 50 names).
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry.queries()

@@ -33,6 +33,34 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # ---- disk preflight (round-11, after the r10 driver bench died on
+    # "No space left on device"): reap stale scratch (leaked DuckDB
+    # spill, dead sessions' blockmgr-*/spark-* dirs), log the headroom,
+    # and abort LOUDLY below a floor rather than dying mid-shuffle with
+    # an unparseable artifact.
+    from tools import scratch
+
+    reaped = scratch.reap_stale()
+    disk_free_gb = round(scratch.free_gb(), 1)
+    min_free = float(os.environ.get("GS_BENCH_MIN_FREE_GB", "10"))
+    if disk_free_gb < min_free:
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": None,
+                    "unit": "sec",
+                    "sf": sf,
+                    "disk_free_gb": disk_free_gb,
+                    "error": (
+                        f"preflight abort: {disk_free_gb} GB free on /tmp "
+                        f"< floor {min_free} GB — clean scratch before benching"
+                    ),
+                }
+            )
+        )
+        sys.exit(1)
+
     import __spark_entry__ as entrymod
     from gibbon_spark.session import get_spark
 
@@ -129,25 +157,42 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — normalization context is best-effort
         pass
 
+    # ---- main timing loop. GS_BENCH_PASSES=2 (round-10 verdict ask #7)
+    # makes the canonical builder run min-of-2 FULL passes — epoch-level
+    # host inflation (the r10 median 1.47x) mostly cancels in the min.
+    # The driver's run stays 1-pass (its time budget); both pass totals
+    # are published so readers see the spread.
+    n_passes = max(1, int(os.environ.get("GS_BENCH_PASSES", "1")))
     timings: dict[str, float] = {}
     names = list(qs)
-    for i, name in enumerate(names):
-        if i % 20 == 19:
-            # nudge the driver JVM to GC: with a large heap it otherwise
-            # never collects, so the ContextCleaner never releases the
-            # accumulated shuffle files / broadcasts of prior queries,
-            # which degrades the tail of the run
-            spark.sparkContext._jvm.System.gc()
-        if i == len(names) // 2:
-            cal_probes.append(_calibrate())  # mid-run probe
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 4)
+    pass_totals: list[float] = []
+    for p in range(n_passes):
+        pass_t: dict[str, float] = {}
+        for i, name in enumerate(names):
+            if i % 20 == 19:
+                # nudge the driver JVM to GC: with a large heap it otherwise
+                # never collects, so the ContextCleaner never releases the
+                # accumulated shuffle files / broadcasts of prior queries,
+                # which degrades the tail of the run
+                spark.sparkContext._jvm.System.gc()
+            if p == 0 and i == len(names) // 2:
+                cal_probes.append(_calibrate())  # mid-run probe
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pass_t[name] = round(time.time() - t0, 4)
+        pass_totals.append(round(sum(pass_t.values()), 4))
+        for n, t in pass_t.items():
+            timings[n] = min(timings.get(n, float("inf")), t)
 
-    def _rerun_min(name: str) -> None:
+    # first-pass timings are kept verbatim for every query later
+    # re-measured, so the persisted baseline's provenance is auditable
+    # (advisor r10: a min-kept rescue alone biases the baseline down)
+    first_pass = dict(timings)
+
+    def _rerun(name: str, keep) -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = min(timings[name], round(time.time() - t0, 4))
+        timings[name] = keep(timings[name], round(time.time() - t0, 4))
 
     # this box shares a host; a noisy-neighbor burst can inflate one or
     # two queries by 10-30s in a single pass. Re-run clear outliers
@@ -155,7 +200,7 @@ def main() -> None:
     # re-measuring the plan, not the neighbors.
     med = sorted(timings.values())[len(timings) // 2]
     for name in [n for n, t in timings.items() if t > max(4 * med, 2.0)]:
-        _rerun_min(name)
+        _rerun(name, min)
 
     # round-10 (verdict r9 ask #2): noise-proof the MEASUREMENT, not just
     # the detection. When the host is 2-4x loaded for a stretch of the
@@ -168,15 +213,27 @@ def main() -> None:
     # MIN of the passes is recorded; n_reruns is published so readers
     # can see how much of the run needed rescue. A genuine plan
     # regression reproduces on the second pass and stays flagged.
-    n_reruns = 0
+    #
+    # Round-11 (advisor ask): the rescue is now SYMMETRIC. A query that
+    # came in >1.3x FASTER than its persisted baseline is re-run once
+    # and the MAX of its passes kept — a genuinely faster plan
+    # reproduces fast (max of two fast passes is still fast), while a
+    # single lucky draw is corrected upward instead of being persisted
+    # as next round's baseline. Slow rescues keep min, fast
+    # confirmations keep max: the persisted baseline is no longer
+    # one-sidedly min-biased.
+    n_reruns = n_reruns_fast = 0
     if prev_queries:
-        for name in [
-            n
-            for n, t in timings.items()
-            if prev_queries.get(n, 0) > 0 and t > 1.3 * prev_queries[n] and t > 0.5
-        ]:
-            _rerun_min(name)
-            n_reruns += 1
+        for name, t in list(timings.items()):
+            pt = prev_queries.get(name, 0)
+            if not pt or pt <= 0:
+                continue
+            if t > 1.3 * pt and t > 0.5:
+                _rerun(name, min)
+                n_reruns += 1
+            elif t < pt / 1.3 and pt > 0.5:
+                _rerun(name, max)
+                n_reruns_fast += 1
     cal_probes.append(_calibrate())  # end-of-run probe
 
     # median of the three interleaved probes; spread = max/min exposes
@@ -220,6 +277,16 @@ def main() -> None:
         "normalized_total": normalized_total,
         "regressed": regressed,
         "n_reruns": n_reruns,
+        "n_reruns_fast": n_reruns_fast,
+        "disk_free_gb": disk_free_gb,
+        "scratch_reaped": reaped,
+        "n_passes": n_passes,
+        "pass_totals": pass_totals,
+        # first-pass wall for every re-measured query (auditable
+        # provenance of the persisted baseline; advisor r10)
+        "queries_first_pass": {
+            n: first_pass[n] for n in first_pass if first_pass[n] != timings[n]
+        },
     }
     print(json.dumps(detail))
     try:
@@ -240,6 +307,7 @@ def main() -> None:
             "normalized_total": normalized_total,
             "n_regressed": len(regressed),
             "n_reruns": n_reruns,
+            "disk_free_gb": disk_free_gb,
         }
     )
     assert len(summary) < 300, f"summary line grew to {len(summary)} bytes"

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gibbon_spark.functions.text import fingerprint, tokens
+from gibbon_spark.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -162,7 +163,7 @@ def jaccard_pairs_prefix(
     # truncated lineage means a lost executor can't recompute these
     # blocks — on a real cluster prefer reliable checkpoint storage or
     # accept the stage re-run; the table is ~tokens-sized, linear.
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(eager=False)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).transform(materialize, eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
     w_doc = Window.partitionBy("id")
@@ -258,7 +259,7 @@ def containment_pairs_prefix(
     # Same five-consumer reuse as jaccard_pairs_prefix (see the measured
     # rationale there): materialize the shingle subtree once — freq,
     # probe, idx, and both verify sides read the checkpointed blocks.
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(eager=False)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).transform(materialize, eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
     w_doc = Window.partitionBy("id")
@@ -538,7 +539,7 @@ def lsh_candidate_pairs(
     # (dedup_incremental 21 s with checkpoint, 215 s without).
     # Checkpointing both variants keeps the two code paths identical
     # in shape and costs one small O(docs·k·32B) materialization.
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(materialize, eager=True)
     banded = _cap_buckets(
         _banded(sigs, num_hashes=num_hashes, bands=bands).select(
             "id", "band", "key"
@@ -588,8 +589,8 @@ def lsh_candidate_pairs_cross(
     # (union-of-sides) size profile, and a rejoin probe, and the
     # asymmetric subtrees defeat ReuseExchange — measured 21 s -> 215 s
     # at sf3 without the checkpoints.
-    sigs_a = sigs_a.localCheckpoint(eager=True)
-    sigs_b = sigs_b.localCheckpoint(eager=True)
+    sigs_a = sigs_a.transform(materialize, eager=True)
+    sigs_b = sigs_b.transform(materialize, eager=True)
     a = _banded(sigs_a, num_hashes=num_hashes, bands=bands).select(
         "id", "band", "key"
     )
@@ -916,7 +917,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     # Size the loop's shuffles from the materialized edge table, not the
     # session's spark.sql.shuffle.partitions: the label state is O(nodes
@@ -959,7 +960,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 F.min("label").alias("label"),
                 F.min("self_label").alias("old_label"),
             )
-            .localCheckpoint()
+            .transform(materialize, eager=True)
         )
         changed = (
             new_labels.filter(F.col("label") != F.col("old_label"))

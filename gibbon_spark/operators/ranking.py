@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from gibbon_spark.materialize import materialize
 
 
 def global_running_sum(
@@ -57,7 +58,7 @@ def global_running_sum(
     by_range = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = by_range.withColumn("_lsum", F.sum(value).over(w_local))

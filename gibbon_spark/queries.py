@@ -28,6 +28,7 @@ from gibbon_spark.operators import merge as merge_ops
 from gibbon_spark.operators import skew as skew_ops
 from gibbon_spark.operators import timeseries as ts_ops
 from gibbon_spark.sources.tables import load_table
+from gibbon_spark.materialize import materialize
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -48,59 +49,69 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 dict entries of
-# queries(). The window is ROTATED each round so that, cumulatively,
-# every registered family earns a driver-green CORRECTNESS row.
-# ROUND-10 window — the coverage ENDGAME: CORRECTNESS_r09 landed
-# 50/50 green, so the 44 round-8/9 first-evers now hold driver
-# hashes and rotate out. The 28 names below are the LAST
-# never-driver-sampled oracle-backed queries in the registry
-# (SURVEY §8 round-9 delta (8)); once this window goes green, every
-# one of the 229 oracle-backed queries has a driver CORRECTNESS hash
-# at least once. The remaining 22 slots return multiply-green
-# cross-family sentinels (codec/ts, TPC-H, joins/aggs/set-ops,
-# scalar-function galleries, LLM-pipeline) as regression anchors.
-# Demoted names stay registered right after the window for the full
-# local gate and keep their earlier driver-green rows as evidence.
-PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- final 28 never-driver-sampled names (coverage endgame) ---
-    "multimodal_frame_sample", "token_drift_splits", "equi_depth_bins",
-    "running_total_orders", "sql_api_nation_revenue", "dq_constraint_report",
-    "ts_sax_words", "basket_part_pairs", "interval_coverage_union",
-    "skew_key_stats", "pipeline_rag_corpus", "variant_props_stats",
-    "cogroup_order_reconciliation", "agg_trimmed_mean", "skyline_orders",
-    "orders_seasonal_index", "fuzzy_match_partnames", "geo_grid_nearest",
-    "benford_digit_audit", "rfm_segments", "table_diff_checksum",
-    "ts_hampel_filter", "event_path_trigrams", "orders_growth_mom",
-    "orders_seasonal_anomaly", "text_rake_keywords",
-    "shipping_delay_histogram", "brand_price_qty_slope",
-    # --- 22 returning sentinels (multiply driver-green anchors) ---
-    # codec / time-series
-    "ts_summary", "ts_delta_of_delta", "ts_asof_join", "ts_gap_fill",
-    # TPC-H core
-    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "q4_order_priority", "q14_promo_ratio", "q18_large_orders",
-    # joins / aggs / set ops / window
-    "outer_join_order_counts", "semi_anti_join", "rollup_lineitem",
-    "cube_orders", "pivot_events", "set_ops_customers",
-    "window_rank_orders",
-    # scalar-function + LLM-pipeline families
-    "scalar_string_math", "json_extract_events", "dedup_exact",
-    "dedup_minhash_lsh", "sim_topk_bruteforce",
+# queries(). Rounds 1-10 rotated this window for COVERAGE — by
+# CORRECTNESS_r10 every one of the 229 oracle-backed queries holds a
+# driver-green hash at least once (the r10 endgame window carried the
+# final 28 never-sampled names). Post-endgame the window's job is
+# REGRESSION DETECTION, encoded as a deterministic policy rather than a
+# hand-picked list (round-10 verdict ask #5):
+#
+#   * 10 pinned cross-family SENTINELS — one per major operator family
+#     (codec/ts, distributed codec, TPC-H agg + join, outer joins,
+#     multi-level aggs, window functions, streaming replay, LLM dedup,
+#     ANN) — sampled EVERY round, so a break in any family's shared
+#     machinery surfaces in at most one round;
+#   * 40 ROUND-ROBIN slots walking the remaining oracle-backed registry
+#     in sorted-name order, advancing 40 names per round — the full
+#     registry re-earns a fresh driver hash every ceil(219/40) = 6
+#     rounds.
+#
+# Bump ROTATION_ROUND by 1 each round (and only that). The window is
+# computed, not listed, so it can never silently drift from the policy;
+# tests/test_registry_invariants.py pins both the policy math and the
+# driver-contract invariants (50 names, oracle-backed, first in dict
+# order).
+SENTINELS: tuple[str, ...] = (
+    "ts_summary",               # codec/time-series scan+agg facade
+    "gorilla_roundtrip_summary",  # distributed Gorilla codec round-trip
+    "q1_pricing_summary",       # TPC-H wide aggregate
+    "q3_top_orders",            # TPC-H 3-way join + top-k
+    "outer_join_order_counts",  # outer-join family
+    "rollup_lineitem",          # multi-level aggregation family
+    "window_rank_orders",       # window-function family
+    "streaming_hourly_rollup",  # streaming replay-parity family
+    "dedup_minhash_lsh",        # LLM dedup (MinHash banding machinery)
+    "sim_topk_bruteforce",      # ANN / embedding kernels
 )
+ROTATION_ROUND = 11  # bump each round
+_DRIVER_SAMPLE = 50
+ROTATION_SLOTS = _DRIVER_SAMPLE - len(SENTINELS)
+
+
+def priority_window() -> tuple[str, ...]:
+    """The 50 names the driver samples this round (policy above).
+
+    Computed lazily because the round-robin pool is "every oracle-backed
+    registered query" — only known after all query modules import.
+    """
+    pool = sorted(n for n in _QUERIES if n in _ORACLES and n not in SENTINELS)
+    start = ((ROTATION_ROUND - 11) * ROTATION_SLOTS) % len(pool)
+    rotating = tuple(pool[(start + i) % len(pool)] for i in range(ROTATION_SLOTS))
+    return SENTINELS + rotating
 
 
 def queries() -> dict[str, SparkQuery]:
-    """All registered queries: PRIORITY_WINDOW first, then the remaining
-    oracle-backed entries, then rows-only entries LAST.
+    """All registered queries: priority_window() first, then the
+    remaining oracle-backed entries, then rows-only entries LAST.
 
     The driver samples the first N dict entries for its correctness
     gate; a rows-only (no-oracle) query in that window burns a slot on
     an ``err: no_oracle`` row even though it is rows-only by design.
-    The explicit window additionally guarantees the sampled set spans
-    the operator families (codec, LLM pipeline, joins/aggs) instead of
-    whatever 50 registered first."""
+    The computed window guarantees the sampled set spans the operator
+    families (sentinels) and round-robins the rest of the registry
+    (policy comment above priority_window)."""
     prioritized = {
-        k: _QUERIES[k] for k in PRIORITY_WINDOW if k in _QUERIES and k in _ORACLES
+        k: _QUERIES[k] for k in priority_window() if k in _QUERIES and k in _ORACLES
     }
     backed = {
         k: v
@@ -3451,13 +3462,13 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = (
         edges.join(outw, "src")
         .select("src", "dst", F.expr("(w * 1000000) div out_w").alias("wn"))
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     ncnt = nation.agg(F.count(F.lit(1)).alias("n_nodes"))
     meta = (
         nation.select(F.col("n_nationkey").alias("node"))
         .crossJoin(F.broadcast(ncnt))
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     pr = meta.select("node", F.expr("1000000000000 div n_nodes").alias("pr"))
     for _ in range(_PAGERANK_ITERS):
@@ -3473,7 +3484,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(15000000000000 div (100 * n_nodes))"
                 " + ((85 * coalesce(s, 0)) div 100)"
             ).alias("pr"),
-        ).localCheckpoint()
+        ).transform(materialize, eager=True)
     return pr.join(
         F.broadcast(
             nation.select(F.col("n_nationkey").alias("node"), "n_name")
@@ -4315,7 +4326,7 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_range = (
         spend.repartitionByRange(n_parts, F.desc("s"), F.asc("o_custkey"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy(F.desc("s"), F.asc("o_custkey"))
     local = by_range.withColumn("_lrn", F.row_number().over(w_local))

@@ -20,6 +20,7 @@ from gibbon_spark.codec import oracle_sql as _codec_oracle
 from gibbon_spark.functions import text as tx
 from gibbon_spark.operators import dedup, similarity
 from gibbon_spark.queries import _prep, exact_avg, query
+from gibbon_spark.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -1146,7 +1147,7 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus feeds both the dedup stage and the quality stage:
     # materialize the pruned projection once so the text column is
     # read from parquet once (dedup.py:150 rationale)
-    docs = docs.select("doc_id", "lang", "text").localCheckpoint(eager=False)
+    docs = docs.select("doc_id", "lang", "text").transform(materialize, eager=False)
     pairs = dedup.minhash_lsh_pairs(
         docs, num_hashes=12, bands=4, min_est=0.5,
         max_bucket=dedup.LSH_MAX_BUCKET,
@@ -1701,7 +1702,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures but not its callers' scans): materialize the split
     # input once so the text column is read from parquet once, not 4x
     # (dedup.py:150 rationale).
-    tagged = docs.withColumn("__b", bucket).localCheckpoint(eager=False)
+    tagged = docs.withColumn("__b", bucket).transform(materialize, eager=False)
     index = tagged.filter(F.col("__b") < 8)
     incoming = tagged.filter(F.col("__b") >= 8)
 

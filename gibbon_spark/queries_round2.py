@@ -31,6 +31,7 @@ from gibbon_spark.queries import (
     query,
 )
 from gibbon_spark.streaming.joins import stream_interval_join
+from gibbon_spark.materialize import materialize
 
 # =========================================================================
 # Incremental materialized-view maintenance (partial-aggregate merge)
@@ -1600,14 +1601,14 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     freq = (
         items.groupBy("part")
         .agg(F.count(F.lit(1)).alias("part_n"))
         .filter(F.col("part_n") >= _BASKET_MIN_SUPPORT)
     )
-    fitems = items.join(freq, "part").localCheckpoint(eager=False)
+    fitems = items.join(freq, "part").transform(materialize, eager=False)
     a = fitems.select(
         F.col("okey"), F.col("part").alias("part_a"), F.col("part_n").alias("n_a")
     )

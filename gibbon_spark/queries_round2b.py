@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gibbon_spark.materialize import materialize
 from gibbon_spark.queries import _prep, query
 
 # =========================================================================
@@ -810,12 +811,12 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edge count); localCheckpoint materializes it once instead of
         # recomputing the O(|lineitem|) lineage per consumer (same
         # discipline as dedup_clusters_cc)
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=True)
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).transform(materialize, eager=True)
     verts = (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))
@@ -1024,7 +1025,7 @@ def q_sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = events.select(
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
         "user_id",
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(materialize, eager=False)
     days = ud.select("d").distinct()
     hexid = F.md5(F.col("user_id").cast("string"))
     v = F.conv(F.substring(hexid, 3, 13), 16, 10).cast("bigint")
@@ -2256,7 +2257,7 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("sx") / F.col("nx") + 0.5).cast("bigint").alias("xq"),
             F.floor(F.col("sy") / F.col("ny") + 0.5).cast("bigint").alias("yq"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     g = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2301,7 +2302,7 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ay2"),
         F.first("theta").alias("theta"),
         F.first("n").alias("n_users"),
-    ).localCheckpoint(eager=False)  # 2 rows; read by both arm slices
+    ).transform(materialize, eager=False)  # 2 rows; read by both arm slices
     a = arms.filter(F.col("arm") == "A").select(
         F.col("cnt").alias("na"),
         F.col("ry1").alias("ra1"),
@@ -2701,7 +2702,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         seeds.join(e, "vec_id")
         .select("j", "i", F.col("ev").alias("cv"))
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
 
     def assign(cent):
@@ -2734,7 +2735,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("cv")
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
     af = assign(c)
     stats = af.groupBy("j").agg(

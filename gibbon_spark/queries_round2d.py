@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from gibbon_spark.operators import ranking
 from gibbon_spark.queries import _prep, money_sum, money_sum_sql, query
+from gibbon_spark.materialize import materialize
 
 # =========================================================================
 # Merkle-style bucket-checksum table diff
@@ -511,7 +512,7 @@ def q_abtest_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_range = (
         g.repartitionByRange(n_parts, F.col("yi"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy("yi")
     local = by_range.withColumn("_la", F.sum("ca").over(w_local)).withColumn(
@@ -532,9 +533,11 @@ def q_abtest_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_ob"), F.lit(0)) + F.col("_lb")).alias("cumb"),
         )
     )
-    # arm totals from the already-grouped frame — a second full events
-    # scan would re-read the corpus for two numbers g already holds
-    t = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # arm totals from the MATERIALIZED by_range frame (advisor r10: an
+    # agg over g would replay the events scan + groupBy unless
+    # ReuseExchange happened to fire — only by_range is checkpointed,
+    # and sum(ca)/sum(cb) are identical there)
+    t = by_range.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     dev = F.abs(
         F.col("cuma").cast("decimal(38,0)") * F.col("nb")
         - F.col("cumb").cast("decimal(38,0)") * F.col("na")
@@ -612,7 +615,7 @@ def q_weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds both the two-level cumsum and the per-flag totals:
         # checkpoint the pre-shrunk distinct-(flag, v) frame so the
         # lineitem scan + groupBy run once (ranking.py rationale)
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     # (flag, v) is unique in g, so it is a total order — the requirement
     # of the two-level decomposition.
@@ -871,7 +874,7 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     t = events.where(F.col("event_type").isin("click", "view")).select(
         F.col("user_id").alias("t_user"),
         F.col("ts").alias("t_ts"),
@@ -892,7 +895,7 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_t"),
             F.sum((F.col("channel") == "click").cast("long")).alias("n_click"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     click_rev = F.round(
         F.col("cents") * F.col("n_click") / (F.lit(100.0) * F.col("n_t"))
@@ -1243,14 +1246,14 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.col("pos")
         - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     phrases = ns.groupBy("doc_id", "grp").agg(
         F.expr(
             "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
             " s -> s.tok))"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     pw = ns.join(phrases, ["doc_id", "grp"]).select("tok", "plen")
     ws = pw.groupBy("tok").agg(
         F.round(
@@ -1260,7 +1263,7 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = (
         phrases.groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
     scored = (

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from gibbon_spark.codec import oracle_sql as _codec_oracle
 from gibbon_spark.queries import _prep, query
+from gibbon_spark.materialize import materialize
 
 _CODEC_BUCKETS = 64  # applyInPandas callbacks per stage, not per series
 
@@ -357,7 +358,7 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ppl_bucket", F.expr("(total_surprisal * 100) div n_bigrams")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     from pyspark.sql import Window
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from gibbon_spark.operators import dedup
 
 DOCS = [
@@ -275,6 +277,7 @@ def test_lsh_band_stats_exact_counts(spark):
         assert r.n_singleton <= r.n_buckets
 
 
+@pytest.mark.slow
 def test_lsh_cap_recall_budget_sf1(spark):
     """Contract test for the LSH_MAX_BUCKET cap (r9 verdict ask #6):
     the cap is a RECALL trade, and its cost must stay inside a stated
@@ -287,7 +290,9 @@ def test_lsh_cap_recall_budget_sf1(spark):
     telemetry, and update SCALE.md — do not just raise the budget.
 
     Generates scaledata/sf1 via tools/gen_scale_data.py on first run
-    (deterministic, ~1 min); later runs reuse the cached parquet."""
+    (deterministic, ~1 min; marked slow for that reason — deselect with
+    -m "not slow" in a quick loop); later runs reuse the cached
+    parquet."""
     import os
     import subprocess
     import sys
@@ -295,11 +300,16 @@ def test_lsh_cap_recall_budget_sf1(spark):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1 = os.path.join(repo, "scaledata", "sf1")
     if not os.path.exists(os.path.join(sf1, "documents.parquet")):
-        subprocess.run(
+        # capture output so a cold-runner generation failure surfaces in
+        # the assertion message instead of an opaque CalledProcessError
+        proc = subprocess.run(
             [sys.executable, os.path.join(repo, "tools", "gen_scale_data.py"),
              "1", sf1],
-            check=True, cwd=repo, timeout=600,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=repo, timeout=600, capture_output=True, text=True,
+        )
+        assert proc.returncode == 0, (
+            f"sf1 generation failed (rc={proc.returncode}):\n"
+            f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
         )
     docs = spark.read.parquet(os.path.join(sf1, "documents.parquet"))
     stats = dedup.lsh_band_stats(

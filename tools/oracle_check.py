@@ -21,6 +21,8 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from tools import scratch  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -40,7 +42,10 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # where the JVM side is also large.
     mem = os.environ.get("GS_ORACLE_DUCK_MEM", "72GB")
     con.execute(f"SET memory_limit='{mem}'")
-    con.execute("SET temp_directory='/tmp/gs_duck_spill'")
+    # Per-process UNIQUE spill dir, atexit-reaped (round-10 post-mortem:
+    # a fixed never-cleaned /tmp/gs_duck_spill accumulated 25 GB across
+    # sweep runs and disk-killed the driver's official bench).
+    con.execute(f"SET temp_directory='{scratch.spill_dir()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -167,4 +172,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        rc = main()
+    finally:
+        # belt-and-braces with the atexit hook: the spill dir must not
+        # survive this process even if main() raised
+        scratch.cleanup_spill()
+    sys.exit(rc)

@@ -22,6 +22,7 @@ final summary to <out_file>.
 from __future__ import annotations
 
 import os
+import shutil
 import signal
 import subprocess
 import sys
@@ -29,6 +30,9 @@ import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools import scratch  # noqa: E402
 
 
 def _tree_rss_kb(pid: int) -> int:
@@ -77,7 +81,13 @@ def run_batch(
     rss_cap_gb: float,
     batch_timeout_s: float = 2400.0,
 ) -> tuple[int, bool]:
-    env = dict(os.environ, GS_ORACLE_DUCK_MEM=duck_mem)
+    # Per-BATCH unique spill dir, torn down in the finally below even
+    # when the watchdog SIGKILLs the tree (the child's own atexit hook
+    # cannot fire on SIGKILL) — round-10 post-mortem: leaked spill from
+    # killed sweep batches accumulated 25 GB and disk-killed the
+    # driver's official bench run.
+    spill = f"/tmp/gs_duck_spill_sweep_{os.getpid()}_{int(time.time())}"
+    env = dict(os.environ, GS_ORACLE_DUCK_MEM=duck_mem, GS_DUCK_SPILL_DIR=spill)
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), sf_dir]
         + names,
@@ -115,7 +125,10 @@ def run_batch(
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
-    rc = proc.wait()
+    try:
+        rc = proc.wait()
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
     t.join(timeout=5)
     return rc, killed
 
@@ -164,6 +177,13 @@ def main() -> int:
                 + "\n"
             )
             out.flush()
+            # hourly-stale scratch reap between batches: a multi-hour
+            # sweep must not accumulate dead batches' Spark local dirs
+            # (watchdog-killed JVMs leave blockmgr-*/spark-* behind)
+            reaped = scratch.reap_stale()
+            if reaped:
+                out.write(f"# reaped stale scratch: {reaped}\n")
+                out.flush()
         out.write(f"# sweep done in {time.time() - t0:.0f}s\n")
     return 0
 
