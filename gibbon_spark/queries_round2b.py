@@ -1102,15 +1102,25 @@ def _pc_oracle_sql() -> str:
       so the oracle's serial sum equals Spark's parallel sum bit-for-
       bit);
     - each power-iteration round is w = G·v (exact HUGEINT), then the
-      direction renormalizes on the 1e-8 grid by max-|w|:
-      ``floor(w/wmax * 1e8 + 0.5)`` evaluated in DOUBLE — int→double
-      casts and the division are correctly rounded IEEE ops, bit-equal
-      across engines given equal integers;
+      direction renormalizes on the 1e-8 grid by max-|w| as EXACT
+      INTEGER floor division: floor(w·1e8/wmax + 1/2) =
+      (2·w·1e8 + wmax) fdiv (2·wmax). Round-11 fix (advisor): the
+      previous DOUBLE evaluation relied on DuckDB's HUGEINT→DOUBLE
+      cast being correctly rounded, but DuckDB composes
+      upper·2⁶⁴+lower in double arithmetic — 1 ulp off Python's
+      correctly-rounded int→float is reachable once |w| > 2⁶⁴
+      (n ≥ ~29 vectors), and a 1-ulp divergence at a .5 tie on the
+      1e-8 grid would cascade through later iterations. Exact
+      integers cannot tie-break differently. DuckDB's ``//``/``%``
+      truncate toward zero, so the SQL adds the usual floor
+      correction for negative numerators;
     - final L2 normalization / sigma happen on the 64-row frame with
-      the usual DECIMAL(30,8) quantized-term sums.
+      the usual DECIMAL(30,8) quantized-term sums (double ops there
+      are magnitude ≤ 1 with +1e-9 guarded 8dp rounding — ulp-safe).
 
     Overflow budget (all exact): |q| ≤ 1e4, G ≤ 1e8·n, w ≤ 64·G·1e8 =
-    6.4e17·n — inside HUGEINT (1.7e38) until n ~ 2.6e20 vectors."""
+    6.4e17·n, renorm numerator 2·w·1e8 ≤ 1.3e26·n — inside HUGEINT
+    (1.7e38) until n ~ 1.3e12 vectors."""
     d, vq0 = _PC_DIMS, _PC_VQ // 8  # v0 = 1/8·𝟙 on the 1e-8 grid
     parts = [
         f"""
@@ -1137,10 +1147,14 @@ def _pc_oracle_sql() -> str:
     ),
     m{it} AS (SELECT max(abs(w)) AS wmax FROM w{it}),
     v{it} AS (
-      SELECT w.j,
-             CAST(floor(CAST(w.w AS DOUBLE) / CAST(m.wmax AS DOUBLE)
-                        * {float(_PC_VQ)} + 0.5) AS BIGINT) AS vq
-      FROM w{it} w, m{it} m)"""
+      SELECT j,
+             CAST(num // den
+                  - CASE WHEN num % den <> 0 AND num < 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS vq
+      FROM (SELECT w.j,
+                   2 * w.w * {_PC_VQ} + m.wmax AS num,
+                   2 * m.wmax AS den
+            FROM w{it} w, m{it} m))"""
         )
         prev = f"v{it}"
     last, vin = f"w{_PC_ITERS}", f"v{_PC_ITERS - 1}"
@@ -1195,10 +1209,13 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
       matrix in arbitrary-precision Python ints — 4,097 values, ~32 KB
       of bounded driver state regardless of corpus size (the
       ivf_train_centroids precedent). Each round: w = G·v exactly,
-      then renormalize on the 1e-8 grid by max|w| via
-      ``floor(w/wmax·1e8 + 0.5)`` in IEEE double — int→double casts
-      and division are correctly rounded, so DuckDB replays the whole
-      trajectory bit-for-bit in HUGEINT + DOUBLE (see _pc_oracle_sql).
+      then renormalize on the 1e-8 grid by max|w| as EXACT integer
+      floor division floor(w·1e8/wmax + 1/2) = (2·w·1e8 + wmax) fdiv
+      (2·wmax) — no doubles anywhere in the trajectory (round-11
+      advisor fix: DuckDB's HUGEINT→DOUBLE cast can double-round
+      1 ulp off past 2⁶⁴, which could flip a .5 tie on the grid), so
+      DuckDB replays it bit-for-bit in pure HUGEINT
+      (see _pc_oracle_sql).
     - Final L2 normalization + sigma = sqrt(‖AᵀAv‖/‖v‖) evaluate on a
       64-row frame with DECIMAL(30,8) quantized-term norms; output
       contract unchanged (top-8 |component|, sigma, n_vectors).
@@ -1208,7 +1225,6 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-corpus shuffles become the dominant cost; this plan reads the
     corpus once and shuffles only 64×64 partials per partition —
     iteration count no longer multiplies corpus passes."""
-    import math
     from decimal import Decimal
 
     import pandas as pd
@@ -1260,9 +1276,11 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [sum(gmat[j][k] * vq[k] for k in range(d)) for j in range(d)]
         wmax = max(abs(x) for x in w)
         assert wmax > 0, "power iteration collapsed to the zero vector"
-        vq = [
-            math.floor(float(x) / float(wmax) * float(vq_scale) + 0.5) for x in w
-        ]
+        # exact floor(x*S/wmax + 1/2): Python // floors, ints are
+        # arbitrary precision — bit-identical to the oracle's HUGEINT
+        # floor division (advisor r10: the old float path could
+        # double-round 1 ulp differently per engine past 2^64)
+        vq = [(2 * x * vq_scale + wmax) // (2 * wmax) for x in w]
 
     frame = spark.createDataFrame(
         [(j + 1, Decimal(w[j]), vq_in[j]) for j in range(d)],
