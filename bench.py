@@ -263,6 +263,39 @@ def main() -> None:
                 if min(raw_ratio, norm_ratio) > 1.3 and t > 0.5:
                     regressed[name] = round(min(raw_ratio, norm_ratio), 2)
 
+    # ---- cross-scale self-diagnosis (round-10 verdict ask #6): a run at
+    # a non-canonical SF publishes its per-query ratio vs the committed
+    # sf0.1 canonical detail and flags ratios above the per-query work
+    # model (linear unless WORK_MODEL says otherwise, x1.3 slack, 5s
+    # floor on the larger time so startup noise can't flag) — so
+    # cross-scale drift lands in the artifact itself instead of waiting
+    # for a sweep to trip over it.
+    vs_canonical: dict[str, float] = {}
+    cross_scale_flags: dict[str, dict] = {}
+    if sf is not None and sf != 0.1:
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                canon = json.load(f)
+            from tools.scale_gate import ABS_FLOOR_S, growth_limit
+
+            data_growth = sf / 0.1
+            for name, t in timings.items():
+                ct = canon.get("queries", {}).get(name)
+                if not ct or ct <= 0:
+                    continue
+                ratio = round(t / ct, 2)
+                vs_canonical[name] = ratio
+                limit = growth_limit(name, data_growth)
+                if ratio > limit and max(t, ct) > ABS_FLOOR_S:
+                    cross_scale_flags[name] = {
+                        "ratio": ratio,
+                        "allowed": round(limit, 1),
+                        "sf_s": t,
+                        "canon_s": ct,
+                    }
+        except Exception:  # noqa: BLE001 — diagnosis is best-effort
+            pass
+
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -288,6 +321,9 @@ def main() -> None:
             n: first_pass[n] for n in first_pass if first_pass[n] != timings[n]
         },
     }
+    if vs_canonical:
+        detail["vs_sf0.1_ratio"] = vs_canonical
+        detail["cross_scale_flags"] = cross_scale_flags
     print(json.dumps(detail))
     try:
         with open(detail_path, "w") as f:
@@ -297,6 +333,7 @@ def main() -> None:
     # final SMALL line (driver-parseable under tail truncation)
     summary = json.dumps(
         {
+            **({"n_cross_scale_flags": len(cross_scale_flags)} if vs_canonical else {}),
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
