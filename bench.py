@@ -222,19 +222,35 @@ def main() -> None:
     # as next round's baseline. Slow rescues keep min, fast
     # confirmations keep max: the persisted baseline is no longer
     # one-sidedly min-biased.
+    #
+    # The FAST trigger uses the both-ratios rule (raw AND
+    # host-normalized, same as the regression flags): when the previous
+    # epoch was uniformly inflated (r10: median 1.47x), EVERY query
+    # looks raw-fast on a recovered host — a raw-only trigger re-ran 83
+    # queries and max-kept away a genuine recovery (measured: merged
+    # total 321s vs best-pass 261s). Normalizing by the calibration
+    # constant cancels host-epoch swings, so only a query that got
+    # faster RELATIVE TO THE HOST gets the skeptical max treatment.
+    # The end-of-run probe therefore runs BEFORE the rescue loop (it
+    # still brackets the main loop; rescues are post-loop extras).
+    cal_probes.append(_calibrate())  # end-of-run probe
+    _totals = sorted(p[0] for p in cal_probes)
+    _cal_now = _totals[len(_totals) // 2]
     n_reruns = n_reruns_fast = 0
     if prev_queries:
         for name, t in list(timings.items()):
             pt = prev_queries.get(name, 0)
             if not pt or pt <= 0:
                 continue
+            norm_ratio = (
+                (t / _cal_now) / (pt / prev_cal) if prev_cal else t / pt
+            )
             if t > 1.3 * pt and t > 0.5:
                 _rerun(name, min)
                 n_reruns += 1
-            elif t < pt / 1.3 and pt > 0.5:
+            elif t < pt / 1.3 and norm_ratio < 1 / 1.3 and pt > 0.5:
                 _rerun(name, max)
                 n_reruns_fast += 1
-    cal_probes.append(_calibrate())  # end-of-run probe
 
     # median of the three interleaved probes; spread = max/min exposes
     # how noisy the host was across the run

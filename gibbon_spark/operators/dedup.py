@@ -161,8 +161,10 @@ def jaccard_pairs_prefix(
     # no cache at all — the columnar cache build + lost whole-stage
     # pipelining cost more than the four recomputes.) Cluster tradeoff:
     # truncated lineage means a lost executor can't recompute these
-    # blocks — on a real cluster prefer reliable checkpoint storage or
-    # accept the stage re-run; the table is ~tokens-sized, linear.
+    # blocks — materialize() routes this site (and every other shared
+    # subtree) to a durable DataFrame.checkpoint when
+    # spark.gibbon.checkpoint.mode=reliable (docs/API.md "Deploying at
+    # 100 TB"); the table is ~tokens-sized, linear.
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).transform(materialize, eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
