@@ -73,9 +73,10 @@ def test_conf_mode_respected_without_env(spark, monkeypatch):
         spark.conf.unset(MODE_CONF)
 
 
-def test_query_hash_invariant_across_modes(spark, monkeypatch):
+def test_query_hash_invariant_across_modes(spark, tmp_path, monkeypatch):
     """A real multi-consumer query (CUPED) returns identical rows with
-    materialization on and off — materialization is a physical choice."""
+    materialization off, local, and RELIABLE (the 100-TB production
+    path) — materialization is a physical choice."""
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()["abtest_cuped"]
@@ -84,3 +85,10 @@ def test_query_hash_invariant_across_modes(spark, monkeypatch):
     monkeypatch.setenv("GS_CKPT_MODE", "local")
     on_rows = _rows(q(spark, "/root/testdata/sf0.001"))
     assert off_rows == on_rows
+    monkeypatch.setenv("GS_CKPT_MODE", "reliable")
+    spark.conf.set(DIR_CONF, str(tmp_path / "qckpt"))
+    try:
+        rel_rows = _rows(q(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.unset(DIR_CONF)
+    assert rel_rows == on_rows
