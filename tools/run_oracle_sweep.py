@@ -13,7 +13,8 @@ solo or restated.
 
 Usage:
     python tools/run_oracle_sweep.py <sf_dir> <out_file> [--batch N]
-        [--duck-mem 28GB] [--rss-gb 70] [--timeout-s 2400] <name...>
+        [--duck-mem 28GB] [--rss-gb 70] [--timeout-s 2400]
+        [--disk-floor-gb 8] <name...>
 
 Appends per-query PASS/FAIL lines (oracle_check.py's own output) plus a
 final summary to <out_file>.
@@ -80,6 +81,7 @@ def run_batch(
     duck_mem: str,
     rss_cap_gb: float,
     batch_timeout_s: float = 2400.0,
+    disk_floor_gb: float = 8.0,
 ) -> tuple[int, bool]:
     # Per-BATCH unique spill dir, torn down in the finally below even
     # when the watchdog SIGKILLs the tree (the child's own atexit hook
@@ -115,6 +117,12 @@ def run_batch(
                 reason = f"tree RSS exceeded {rss_cap_gb} GB"
             elif time.time() - t_start > batch_timeout_s:
                 reason = f"wall clock exceeded {batch_timeout_s:.0f}s"
+            elif scratch.free_gb() < disk_floor_gb:
+                # round-11: a spilling oracle that outruns the disk must
+                # die BEFORE the disk hits zero — a full /tmp takes down
+                # every concurrent Spark job on the box (the r10 driver
+                # bench casualty), not just this batch
+                reason = f"free disk below {disk_floor_gb} GB floor"
             if reason:
                 killed = True
                 out.write(f"WATCHDOG KILL batch {names} — {reason}\n")
@@ -141,6 +149,7 @@ def main() -> int:
     sf_dir, out_file = args[0], args[1]
     rest = args[2:]
     batch_n, duck_mem, rss_gb, timeout_s = 8, "28GB", 70.0, 2400.0
+    disk_floor = 8.0
     names: list[str] = []
     i = 0
     while i < len(rest):
@@ -156,6 +165,9 @@ def main() -> int:
         elif rest[i] == "--timeout-s":
             timeout_s = float(rest[i + 1])
             i += 2
+        elif rest[i] == "--disk-floor-gb":
+            disk_floor = float(rest[i + 1])
+            i += 2
         else:
             names.append(rest[i])
             i += 1
@@ -169,7 +181,7 @@ def main() -> int:
         for k in range(0, len(names), batch_n):
             batch = names[k : k + batch_n]
             rc, killed = run_batch(
-                sf_dir, batch, out, duck_mem, rss_gb, timeout_s
+                sf_dir, batch, out, duck_mem, rss_gb, timeout_s, disk_floor
             )
             out.write(
                 f"# batch {k // batch_n + 1}: rc={rc}"
