@@ -157,15 +157,17 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — normalization context is best-effort
         pass
 
-    # ---- main timing loop. GS_BENCH_PASSES=2 (round-10 verdict ask #7)
-    # makes the canonical builder run min-of-2 FULL passes — epoch-level
-    # host inflation (the r10 median 1.47x) mostly cancels in the min.
-    # The driver's run stays 1-pass (its time budget); both pass totals
-    # are published so readers see the spread.
-    n_passes = max(1, int(os.environ.get("GS_BENCH_PASSES", "1")))
+    # ---- main timing loop. Min-of-2 FULL passes is the DEFAULT
+    # (round-11 verdict ask #2): epoch-level host inflation (the r10
+    # median 1.47x, the r11 354->282s first pass) mostly cancels in the
+    # min, and the official driver invocation previously ran 1-pass and
+    # needed 60 end-of-run rescues. Both pass totals are published so
+    # readers see the spread; set GS_BENCH_PASSES=1 for a quick look.
+    n_passes = max(1, int(os.environ.get("GS_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     names = list(qs)
     pass_totals: list[float] = []
+    first_pass: dict[str, float] = {}
     for p in range(n_passes):
         pass_t: dict[str, float] = {}
         for i, name in enumerate(names):
@@ -181,13 +183,13 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             pass_t[name] = round(time.time() - t0, 4)
         pass_totals.append(round(sum(pass_t.values()), 4))
+        if p == 0:
+            # verbatim pass-0 walls, captured BEFORE any min-merge, so the
+            # published provenance field is genuinely first-pass (advisor
+            # r11: dict(timings) after the merge held min-of-passes)
+            first_pass = dict(pass_t)
         for n, t in pass_t.items():
             timings[n] = min(timings.get(n, float("inf")), t)
-
-    # first-pass timings are kept verbatim for every query later
-    # re-measured, so the persisted baseline's provenance is auditable
-    # (advisor r10: a min-kept rescue alone biases the baseline down)
-    first_pass = dict(timings)
 
     def _rerun(name: str, keep) -> None:
         t0 = time.time()

@@ -27,9 +27,15 @@ Mode resolution order: ``GS_CKPT_MODE`` env var (lets a fresh-session
 A/B subprocess flip the mode without touching code), then the Spark
 conf ``spark.gibbon.checkpoint.mode``, then ``local``.
 
-Results are mode-invariant by construction — materialization changes
-WHERE blocks live, never values — pinned by
-tests/test_materialize.py.
+Results are mode-invariant between ``local`` and ``reliable`` by
+construction — those modes change WHERE blocks live, never values —
+pinned by tests/test_materialize.py. ``off`` is a measurement-only
+harness setting, NOT safe for correctness-gated runs: plans that join
+consumers on ``spark_partition_id()`` after a ``repartitionByRange``
+(global_running_sum, q_abtest_ks_distance, q_revenue_concentration)
+rely on the checkpoint to pin the range exchange's sampled boundaries;
+under ``off`` a recompute or task retry of the exchange can assign a
+different partition id across consumers.
 """
 
 from __future__ import annotations
@@ -42,14 +48,26 @@ MODE_CONF = "spark.gibbon.checkpoint.mode"
 DIR_CONF = "spark.gibbon.checkpoint.dir"
 
 
+_VALID_MODES = frozenset({"local", "reliable", "off"})
+
+
 def _mode(df: DataFrame) -> str:
     env = os.environ.get("GS_CKPT_MODE")
     if env:
-        return env
-    try:
-        return df.sparkSession.conf.get(MODE_CONF, "local")
-    except Exception:  # noqa: BLE001 — conf access never blocks the plan
-        return "local"
+        mode = env
+    else:
+        try:
+            mode = df.sparkSession.conf.get(MODE_CONF, "local")
+        except Exception:  # noqa: BLE001 — conf access never blocks the plan
+            mode = "local"
+    # a typo must fail loudly, not silently run the 'local' arm of an
+    # A/B comparison (advisor r11: GS_CKPT_MODE=reliabe fell through)
+    if mode not in _VALID_MODES:
+        raise ValueError(
+            f"invalid checkpoint mode {mode!r} (from GS_CKPT_MODE or "
+            f"{MODE_CONF}); expected one of {sorted(_VALID_MODES)}"
+        )
+    return mode
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:

@@ -83,7 +83,7 @@ SENTINELS: tuple[str, ...] = (
     "dedup_minhash_lsh",        # LLM dedup (MinHash banding machinery)
     "sim_topk_bruteforce",      # ANN / embedding kernels
 )
-ROTATION_ROUND = 11  # bump each round
+ROTATION_ROUND = 12  # bump each round
 _DRIVER_SAMPLE = 50
 ROTATION_SLOTS = _DRIVER_SAMPLE - len(SENTINELS)
 

@@ -299,16 +299,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs_prefix(docs, n=3, threshold=0.5)
 
 
-def _minhash_oracle_sql(
-    num_hashes: int = 12,
-    bands: int = 4,
-    min_est: float = 0.5,
-    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
-) -> str:
-    r = num_hashes // bands
-    sig_cols = ", ".join(
+def _minhash_sig_cols(num_hashes: int = 12) -> str:
+    """The per-doc signature aggregate columns — shared by the registered
+    oracle and the chunked sf10 restatement (tools/sf3_feasible_oracles)
+    so the two hash families cannot drift."""
+    return ", ".join(
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
     )
+
+
+def _minhash_band_pieces(
+    num_hashes: int, bands: int, max_bucket: int | None
+) -> tuple[str, str, str]:
+    """(band_keys, bl_body, eq_sum) — the banding/cap/estimate SQL pieces
+    downstream of the ``sigs`` relation, shared by every minhash-family
+    oracle generator."""
+    r = num_hashes // bands
     band_keys = ", ".join(
         "md5(" + " || '|' || ".join(f"sig_{b * r + j}" for j in range(r)) + f") AS band_{b}"
         for b in range(bands)
@@ -330,13 +336,22 @@ def _minhash_oracle_sql(
            WHERE bsz._bn <= {max_bucket})"""
     else:
         bl_body = f"bl AS ({band_union})"
-    return (
-        _SHINGLE_CTE
-        + f"""
-    , sigs AS (
-      SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id
-    ),
-    banded AS (SELECT id, {band_keys} FROM sigs),
+    return band_keys, bl_body, eq_sum
+
+
+def _minhash_tail_sql(
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
+) -> str:
+    """Everything downstream of a ``sigs`` relation (id, sig_0..sig_n):
+    banding, hot-band cap, candidate join, signature-estimated Jaccard.
+    The registered oracle prepends the inline sigs CTE; the chunked sf10
+    restatement prepends a TEMP-TABLE-backed sigs CTE — same tail, so
+    the pair semantics cannot drift between them."""
+    band_keys, bl_body, eq_sum = _minhash_band_pieces(num_hashes, bands, max_bucket)
+    return f"""banded AS (SELECT id, {band_keys} FROM sigs),
     {bl_body},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -349,6 +364,23 @@ def _minhash_oracle_sql(
     JOIN sigs sb ON c.id_b = sb.id
     WHERE round(({eq_sum}) / {num_hashes}.0, 6) >= {min_est}
     """
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
+) -> str:
+    sig_cols = _minhash_sig_cols(num_hashes)
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sigs AS (
+      SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id
+    ),
+    """
+        + _minhash_tail_sql(num_hashes, bands, min_est, max_bucket)
     )
 
 
@@ -1093,12 +1125,18 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, qs, k=5)
 
 
-def _pipeline_oracle_sql() -> str:
+def _pipeline_oracle_sql(pairs_src: str | None = None) -> str:
     """Compose the full training-data filter pipeline in DuckDB SQL from
     the same generated pieces as the individual oracles: quality score +
     MinHash-LSH near-dup removal (drop the higher id of each pair) +
-    per-language corpus stats of the kept docs."""
-    minhash_sql = _minhash_oracle_sql()
+    per-language corpus stats of the kept docs.
+
+    ``pairs_src`` (sf10 restatement hook): a relation name holding the
+    minhash pair table — the chunked TEMP-TABLE build replaces only the
+    inline dup_pairs CTE; every downstream stage is the same string."""
+    minhash_sql = (
+        _minhash_oracle_sql() if pairs_src is None else f"SELECT * FROM {pairs_src}"
+    )
     return f"""
     WITH dup_pairs AS ({minhash_sql}),
     losers AS (SELECT DISTINCT id_b FROM dup_pairs),
@@ -1589,53 +1627,21 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_oracle_sql(
+def _incremental_tail_sql(
     num_hashes: int = 12,
     bands: int = 4,
     min_est: float = 0.5,
     max_bucket: int | None = dedup.LSH_MAX_BUCKET,
 ) -> str:
-    """Oracle for incremental dedup: the same md5 MinHash/band pipeline
-    as _minhash_oracle_sql, restricted to (incoming × index) pairs by
-    the deterministic doc_id hash split, plus the exact content-hash
-    membership check. Generated from the same parameters as the Spark
-    side so the two cannot drift."""
-    r = num_hashes // bands
-    sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
-    )
-    band_keys = ", ".join(
-        "md5(" + " || '|' || ".join(f"sig_{b * r + j}" for j in range(r)) + f") AS band_{b}"
-        for b in range(bands)
-    )
-    band_union = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
-    )
-    eq_sum = " + ".join(
-        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
-    # Hot-band cap on the COMBINED (incoming + index) bucket count —
-    # bl bands the whole corpus before the split filter, so counting on
-    # bl replays lsh_candidate_pairs_cross's unioned-sides semantics.
-    if max_bucket is not None:
-        bl_body = f"""bl0 AS ({band_union}),
-    bsz AS (SELECT band, key, count(*) AS _bn FROM bl0 GROUP BY band, key),
-    bl AS (SELECT bl0.id, bl0.band, bl0.key
-           FROM bl0 JOIN bsz ON bl0.band = bsz.band AND bl0.key = bsz.key
-           WHERE bsz._bn <= {max_bucket})"""
-    else:
-        bl_body = f"bl AS ({band_union})"
-    return (
-        _SHINGLE_CTE
-        + f"""
-    , split AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10 AS b
-      FROM documents
-    ),
-    sigs AS (SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id),
-    banded AS (SELECT id, {band_keys} FROM sigs),
+    """Everything downstream of the ``split`` and ``sigs`` relations for
+    the incremental-dedup oracle — shared with the chunked sf10
+    restatement exactly like _minhash_tail_sql.
+
+    The hot-band cap counts the COMBINED (incoming + index) bucket —
+    bl bands the whole corpus before the split filter, so counting on
+    bl replays lsh_candidate_pairs_cross's unioned-sides semantics."""
+    band_keys, bl_body, eq_sum = _minhash_band_pieces(num_hashes, bands, max_bucket)
+    return f"""banded AS (SELECT id, {band_keys} FROM sigs),
     {bl_body},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1674,6 +1680,34 @@ def _incremental_oracle_sql(
     LEFT JOIN near n ON inc.doc_id = n.doc_id
     ORDER BY inc.doc_id
     """
+
+
+_INCREMENTAL_SPLIT_CTE = """split AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10 AS b
+      FROM documents
+    )"""
+
+
+def _incremental_oracle_sql(
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_bucket: int | None = dedup.LSH_MAX_BUCKET,
+) -> str:
+    """Oracle for incremental dedup: the same md5 MinHash/band pipeline
+    as _minhash_oracle_sql, restricted to (incoming × index) pairs by
+    the deterministic doc_id hash split, plus the exact content-hash
+    membership check. Generated from the same parameters as the Spark
+    side so the two cannot drift."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , {_INCREMENTAL_SPLIT_CTE},
+    sigs AS (SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id),
+    """
+        + _incremental_tail_sql(num_hashes, bands, min_est, max_bucket)
     )
 
 

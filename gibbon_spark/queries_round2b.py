@@ -1090,10 +1090,24 @@ _PC_QUANT = 10_000  # 1e-4 coordinate grid (the IVF_QUANT discipline)
 _PC_VQ = 100_000_000  # 1e-8 grid for the iterated direction vector
 
 
-def _pc_oracle_sql() -> str:
+def _pc_oracle_sql(gram_mode: str = "join") -> str:
     """Gram-matrix power-iteration oracle, HUGEINT-exact (round-10
     rewrite — verdict r9 ask #3). Replays the engine's arithmetic
     verbatim:
+
+    ``gram_mode`` selects how G = QᵀQ is computed — same exact values
+    either way (floor-quantization per element, HUGEINT products,
+    order-free integer sums):
+
+    - ``"join"`` (registered oracle): explode to (i, j, qe) and
+      self-join USING (i). Readable, but the join materializes n·d²
+      rows in a non-spillable hash build — at sf10 (200k vectors)
+      that is 819M rows and exceeds the box.
+    - ``"scan"`` (sf10 restatement, tools/sf3_feasible_oracles): one
+      streaming scan with a double LATERAL unnest emitting the same
+      n·d² product terms straight into a 4,096-group aggregate — no
+      join build, constant memory. Every CTE downstream of ``g`` is
+      the identical string.
 
     - coordinates quantized ONCE to the 1e-4 integer grid
       (``floor(e*10000 + 0.5)``) — identical IEEE expression on both
@@ -1122,8 +1136,8 @@ def _pc_oracle_sql() -> str:
     6.4e17·n, renorm numerator 2·w·1e8 ≤ 1.3e26·n — inside HUGEINT
     (1.7e38) until n ~ 1.3e12 vectors."""
     d, vq0 = _PC_DIMS, _PC_VQ // 8  # v0 = 1/8·𝟙 on the 1e-8 grid
-    parts = [
-        f"""
+    if gram_mode == "join":
+        gram_ctes = f"""
     WITH q AS (
       SELECT vec_id AS i, j,
              CAST(floor(CAST(embedding[j] AS DOUBLE) * {_PC_QUANT} + 0.5)
@@ -1133,7 +1147,25 @@ def _pc_oracle_sql() -> str:
     g AS (
       SELECT a.j AS j, b.j AS k, sum(CAST(a.qe AS HUGEINT) * b.qe) AS g
       FROM q a JOIN q b USING (i) GROUP BY a.j, b.j
-    ),
+    )"""
+    elif gram_mode == "scan":
+        gram_ctes = f"""
+    WITH g AS (
+      SELECT t.j AS j, s.k AS k,
+             sum(CAST(floor(CAST(embedding[t.j] AS DOUBLE) * {_PC_QUANT} + 0.5)
+                      AS HUGEINT)
+                 * CAST(floor(CAST(embedding[s.k] AS DOUBLE) * {_PC_QUANT} + 0.5)
+                        AS BIGINT)) AS g
+      FROM embeddings,
+           LATERAL unnest(range(1, {d} + 1)) AS t(j),
+           LATERAL unnest(range(1, {d} + 1)) AS s(k)
+      GROUP BY t.j, s.k
+    )"""
+    else:
+        raise ValueError(f"unknown gram_mode {gram_mode!r}")
+    parts = [
+        gram_ctes
+        + f""",
     v0 AS (SELECT j, CAST({vq0} AS BIGINT) AS vq
            FROM range(1, {d} + 1) AS t(j))"""
     ]

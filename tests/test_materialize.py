@@ -63,6 +63,21 @@ def test_reliable_mode_checkpoints_and_matches(spark, tmp_path, monkeypatch):
         spark.conf.unset(DIR_CONF)
 
 
+def test_invalid_mode_raises(spark, monkeypatch):
+    # advisor r11: a typo (GS_CKPT_MODE=reliabe) must not silently run
+    # the local arm of an A/B comparison
+    monkeypatch.setenv("GS_CKPT_MODE", "reliabe")
+    with pytest.raises(ValueError, match="invalid checkpoint mode"):
+        materialize(_frame(spark))
+    monkeypatch.delenv("GS_CKPT_MODE")
+    spark.conf.set(MODE_CONF, "LOCAL")  # case-sensitive by contract
+    try:
+        with pytest.raises(ValueError, match="invalid checkpoint mode"):
+            materialize(_frame(spark))
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
 def test_conf_mode_respected_without_env(spark, monkeypatch):
     monkeypatch.delenv("GS_CKPT_MODE", raising=False)
     spark.conf.set(MODE_CONF, "off")
@@ -92,3 +107,33 @@ def test_query_hash_invariant_across_modes(spark, tmp_path, monkeypatch):
     finally:
         spark.conf.unset(DIR_CONF)
     assert rel_rows == on_rows
+
+
+# Round-11 verdict ask #4: prove the 100-TB reliable mode across heavy
+# materialize() consumers from DISTINCT families — non-eager shared
+# subtrees (containment's shingle table, the bigram LM), eager
+# iterative frontiers (connected components), the _pid-dependent
+# two-level global cumsum, and the blocked 3-way triangle join.
+_RELIABLE_INVARIANCE_QUERIES = (
+    "dedup_containment",
+    "dedup_clusters_cc",
+    "text_perplexity_bigram",
+    "running_total_orders",
+    "graph_triangle_count",
+)
+
+
+@pytest.mark.parametrize("name", _RELIABLE_INVARIANCE_QUERIES)
+def test_reliable_mode_invariant_heavy_consumers(spark, tmp_path, monkeypatch, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    monkeypatch.setenv("GS_CKPT_MODE", "local")
+    local_rows = _rows(q(spark, "/root/testdata/sf0.001"))
+    monkeypatch.setenv("GS_CKPT_MODE", "reliable")
+    spark.conf.set(DIR_CONF, str(tmp_path / f"ckpt_{name}"))
+    try:
+        rel_rows = _rows(q(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.unset(DIR_CONF)
+    assert rel_rows == local_rows

@@ -25,11 +25,22 @@ def test_spill_dir_unique_and_cleaned():
     scratch.cleanup_spill()
 
 
-def test_reap_stale_removes_only_old_matching_dirs(tmp_path):
-    old_spill = tmp_path / "gs_duck_spill_12345"
+def _dead_pid() -> int:
+    """A PID guaranteed not to be running."""
+    pid = 99999
+    while os.path.exists(f"/proc/{pid}"):
+        pid -= 1
+    return pid
+
+
+def test_reap_stale_removes_only_old_matching_dirs(tmp_path, monkeypatch):
+    # no-JVM case: Spark scratch is orphaned by definition → mtime rules
+    monkeypatch.setattr(scratch, "_live_jvm_exists", lambda: False)
+    dead = _dead_pid()
+    old_spill = tmp_path / f"gs_duck_spill_{dead}"
     old_spark = tmp_path / "spark-deadbeef"
     old_blockmgr = tmp_path / "blockmgr-cafe"
-    fresh = tmp_path / "gs_duck_spill_67890"
+    fresh = tmp_path / f"gs_duck_spill_{dead - 1}"
     unrelated = tmp_path / "somethingelse-old"
     for d in (old_spill, old_spark, old_blockmgr, fresh, unrelated):
         d.mkdir()
@@ -48,9 +59,47 @@ def test_reap_stale_removes_only_old_matching_dirs(tmp_path):
     assert unrelated.exists(), "non-matching dirs are never touched"
 
 
-def test_reap_stale_keeps_dir_with_fresh_child(tmp_path):
+def test_reap_skips_spark_dirs_while_any_jvm_lives(tmp_path, monkeypatch):
+    # advisor r11: an idle-but-live Spark session can go >1h without
+    # refreshing mtimes; reaping its block manager kills its shuffles.
+    # While ANY JVM is alive, spark-*/blockmgr-* are off limits — but
+    # dead-PID spill dirs are still reaped (they encode their owner).
+    monkeypatch.setattr(scratch, "_live_jvm_exists", lambda: True)
+    old_spark = tmp_path / "spark-idlelive"
+    old_blockmgr = tmp_path / "blockmgr-idlelive"
+    dead_spill = tmp_path / f"gs_duck_spill_{_dead_pid()}"
+    for d in (old_spark, old_blockmgr, dead_spill):
+        d.mkdir()
+    stale_t = time.time() - 7200
+    for d in (old_spark, old_blockmgr, dead_spill):
+        os.utime(d, (stale_t, stale_t))
+
+    removed = scratch.reap_stale(tmp=str(tmp_path))
+
+    assert removed == [str(dead_spill)]
+    assert old_spark.exists() and old_blockmgr.exists()
+
+
+def test_reap_skips_spill_dir_of_live_pid(tmp_path, monkeypatch):
+    monkeypatch.setattr(scratch, "_live_jvm_exists", lambda: False)
+    live_owner = tmp_path / "gs_duck_spill_1"  # PID 1 is always alive
+    live_owner.mkdir()
+    stale_t = time.time() - 7200
+    os.utime(live_owner, (stale_t, stale_t))
+    assert scratch.reap_stale(tmp=str(tmp_path)) == []
+    assert live_owner.exists()
+
+
+def test_live_jvm_probe_runs():
+    # smoke: the /proc scan must not raise; value depends on the box
+    assert scratch._live_jvm_exists() in (True, False)
+
+
+def test_reap_stale_keeps_dir_with_fresh_child(tmp_path, monkeypatch):
     # dir mtime old, but a top-level entry was touched recently → a live
-    # session actively spilling — must NOT be reaped
+    # session actively spilling — must NOT be reaped (even with no JVM,
+    # so the mtime gate is exercised, not the liveness gate)
+    monkeypatch.setattr(scratch, "_live_jvm_exists", lambda: False)
     live = tmp_path / "spark-live"
     live.mkdir()
     f = live / "shuffle.data"

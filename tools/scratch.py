@@ -13,13 +13,13 @@ module is the fix:
 * ``cleanup_spill()`` — explicit teardown for the current process's
   spill dir (callable from a ``finally``; idempotent).
 * ``reap_stale()`` — removes spill/Spark scratch dirs in /tmp whose
-  newest top-level mtime is older than a threshold (default 1 h).
-  mtime-based liveness is deliberate: this box is single-tenant, the
-  only producers are our own sessions, and a live Spark/DuckDB session
-  that is actively spilling refreshes its top-level entries. The
-  reaper runs at bench preflight — the one moment the contract says no
-  sweep may be running (FIXTURES.md: never leave a sweep running into
-  the harvest window).
+  newest top-level mtime is older than a threshold (default 1 h),
+  gated on process liveness (round-11 advisor): PID-named spill dirs
+  are skipped while their owner is alive, and ``spark-*``/
+  ``blockmgr-*`` dirs are only touched when NO JVM is running on the
+  box (an idle-but-live session can go >1h without refreshing mtimes;
+  reaping its block manager causes shuffle-fetch failures mid-job).
+  The reaper runs at bench preflight and between sweep batches.
 * ``free_gb()`` — disk headroom for the preflight gate.
 """
 
@@ -81,20 +81,58 @@ def _newest_mtime(path: str) -> float:
     return newest
 
 
+def _owner_pid(path: str) -> int | None:
+    """PID encoded in a ``gs_duck_spill_<pid>`` dir name, if any."""
+    tail = os.path.basename(path).rpartition("_")[2]
+    return int(tail) if tail.isdigit() else None
+
+
+def _live_jvm_exists() -> bool:
+    """True when any live java process exists on the box.
+
+    Used to gate reaping of ``spark-*``/``blockmgr-*`` dirs: those
+    dirs don't encode their owner, and an idle-but-live Spark session
+    (e.g. a concurrent bench while a sweep reaps between batches) can
+    sit read-only for >1h without refreshing mtimes — deleting its
+    block-manager dirs causes shuffle-fetch failures mid-job (advisor
+    r11). When no JVM is alive at all, every Spark scratch dir is
+    orphaned by definition and mtime age is a safe second gate.
+    """
+    for comm in glob.glob("/proc/[0-9]*/comm"):
+        try:
+            with open(comm) as f:
+                if f.read().strip() == "java":
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def reap_stale(tmp: str = "/tmp", max_age_s: float = 3600.0) -> list[str]:
     """Remove stale scratch dirs under *tmp*; returns the paths removed.
 
     A dir is stale when its newest top-level mtime is older than
-    ``max_age_s`` (env override ``GS_REAP_MAX_AGE_S``). The current
-    process's own spill dir is always skipped.
+    ``max_age_s`` (env override ``GS_REAP_MAX_AGE_S``) AND no live
+    process can still own it: PID-named spill dirs require their owner
+    to be dead (/proc check), and Spark's own ``spark-*``/``blockmgr-*``
+    dirs are only touched when no JVM is running on the box at all.
+    The current process's own spill dir is always skipped.
     """
     max_age_s = float(os.environ.get("GS_REAP_MAX_AGE_S", max_age_s))
     now = time.time()
     removed: list[str] = []
+    jvm_alive = _live_jvm_exists()
     for pattern in REAPABLE_PATTERNS:
+        is_spill = pattern.startswith(SPILL_PREFIX)
+        if not is_spill and jvm_alive:
+            continue  # can't attribute Spark scratch to a dead owner
         for path in glob.glob(os.path.join(tmp, pattern)):
             if not os.path.isdir(path) or path == _spill_dir:
                 continue
+            if is_spill:
+                pid = _owner_pid(path)
+                if pid is not None and os.path.exists(f"/proc/{pid}"):
+                    continue  # owner still alive — not ours to reap
             if now - _newest_mtime(path) > max_age_s:
                 shutil.rmtree(path, ignore_errors=True)
                 if not os.path.exists(path):

@@ -52,6 +52,7 @@ SUBSET_PCT = {
     "sim_embedding_neardup": 20,
     "sim_embedding_neardup_exact": 10,
     "knn_graph_lsh": 2,
+    "dedup_ngram_jaccard": 5,
 }
 
 
@@ -118,6 +119,7 @@ def check_pairwise_subset(name: str, sf_dir: str, pct: int) -> int:
         "dedup_containment": ("id_contained", "id_container"),
         "sim_embedding_neardup": ("id_a", "id_b"),
         "sim_embedding_neardup_exact": ("id_a", "id_b"),
+        "dedup_ngram_jaccard": ("id_a", "id_b"),
     }[name]
     keep = (
         spark_pdf[a_col].map(lambda i: _in_subset(i, pct))
@@ -127,7 +129,7 @@ def check_pairwise_subset(name: str, sf_dir: str, pct: int) -> int:
 
     table, id_col = (
         ("documents", "doc_id")
-        if name == "dedup_containment"
+        if name in ("dedup_containment", "dedup_ngram_jaccard")
         else ("embeddings", "vec_id")
     )
     sql = _subset_table_sql(entrymod.oracle_sql()[name], table, id_col, pct)
@@ -246,17 +248,240 @@ def check_knn_subset(name: str, sf_dir: str, pct: int) -> int:
     )
 
 
+def _build_sigs_chunked(con, chunks: int) -> None:
+    """Materialize the per-doc MinHash signature table in ``chunks``
+    doc_id-sliced passes (round-11 sf10 restatement path,
+    SCALE_ORACLE_SF10.txt): the one-shot sigs aggregate expands ~100M
+    shingles × 12 md5s and spilled >75 GB at sf10 (disk-full at a 28 GB
+    memory cap). min() per doc is independent across docs, so GROUP BY
+    slices of ``doc_id % chunks`` are EXACT — each slice expands only
+    1/chunks of the corpus (the WHERE is injected into the innermost
+    documents scan, before the split/unnest), bounding the spill to
+    roughly the sf1-scale regime per slice. The signature and shingle
+    expressions are the same generator strings as the registered oracle
+    (_minhash_sig_cols / _SHINGLE_CTE), so the hash family cannot
+    drift."""
+    from gibbon_spark.queries_llm import _SHINGLE_CTE, _minhash_sig_cols
+
+    sig_cols = _minhash_sig_cols()
+    for i in range(chunks):
+        sliced = _SHINGLE_CTE.replace(
+            "FROM documents", f"FROM documents WHERE doc_id % {chunks} = {i}"
+        )
+        select = f"{sliced} SELECT doc_id AS id, {sig_cols} FROM sh GROUP BY doc_id"
+        if i == 0:
+            con.execute(f"CREATE TEMP TABLE sigs_t AS {select}")
+        else:
+            con.execute(f"INSERT INTO sigs_t {select}")
+
+
+def _sigs_table(con, sf_dir: str) -> None:
+    """Materialize sigs_t, reusing an on-disk parquet cache across the
+    four minhash-family checks of one sweep (the chunked build costs
+    ~1.2B md5 calls at sf10 — pay it once). The cache name embeds the
+    sf tag and chunk count (the knn-cache provenance rule), so a stale
+    cache from another SF or config cannot silently validate."""
+    k = _chunks()
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    cache = f"/tmp/gs_sigs_{tag}_k{k}.parquet"
+    if os.path.exists(cache):
+        con.execute(
+            f"CREATE TEMP TABLE sigs_t AS SELECT * FROM read_parquet('{cache}')"
+        )
+        return
+    _build_sigs_chunked(con, k)
+    con.execute(f"COPY sigs_t TO '{cache}' (FORMAT PARQUET)")
+
+
+def _chunks() -> int:
+    return int(os.environ.get("GS_MINHASH_CHUNKS", "10"))
+
+
+def check_minhash_chunked(sf_dir: str) -> int:
+    """dedup_minhash_lsh: FULL exact — chunked signature TEMP TABLE +
+    the registered oracle's own tail (banding/cap/candidates/estimate)
+    reading sigs from the TEMP table instead of the inline CTE."""
+    from gibbon_spark.queries_llm import _minhash_tail_sql
+
+    t0 = time.time()
+    spark_pdf = _spark_result("dedup_minhash_lsh", sf_dir)
+    k = _chunks()
+    con = duck_connection(sf_dir)
+    _sigs_table(con, sf_dir)
+    duck_pdf = con.execute(
+        f"WITH sigs AS (SELECT * FROM sigs_t),\n    {_minhash_tail_sql()}"
+    ).fetchdf()
+    con.close()
+    return _report(
+        "dedup_minhash_lsh",
+        f"FULL, chunked sigs TEMP TABLE ({k} slices)",
+        compare("dedup_minhash_lsh", spark_pdf, duck_pdf),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def check_pipeline_chunked(sf_dir: str) -> int:
+    """pipeline_training_corpus: FULL exact — the embedded minhash
+    near-dup CTE is the sf10 blocker; build the pair table once via the
+    chunked sigs path, then run the registered pipeline SQL with
+    dup_pairs sourced from the TEMP table (_pipeline_oracle_sql's
+    pairs_src hook — every downstream stage is the same string)."""
+    from gibbon_spark.queries_llm import _minhash_tail_sql, _pipeline_oracle_sql
+
+    t0 = time.time()
+    spark_pdf = _spark_result("pipeline_training_corpus", sf_dir)
+    k = _chunks()
+    con = duck_connection(sf_dir)
+    _sigs_table(con, sf_dir)
+    con.execute(
+        "CREATE TEMP TABLE pairs_t AS "
+        f"WITH sigs AS (SELECT * FROM sigs_t),\n    {_minhash_tail_sql()}"
+    )
+    duck_pdf = con.execute(_pipeline_oracle_sql(pairs_src="pairs_t")).fetchdf()
+    con.close()
+    return _report(
+        "pipeline_training_corpus",
+        f"FULL, chunked-sigs pair TEMP TABLE ({k} slices)",
+        compare("pipeline_training_corpus", spark_pdf, duck_pdf),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def check_incremental_chunked(sf_dir: str) -> int:
+    """dedup_incremental: FULL exact — chunked sigs TEMP TABLE + the
+    registered oracle's own split/band/cross-candidate tail
+    (_incremental_tail_sql)."""
+    from gibbon_spark.queries_llm import (
+        _INCREMENTAL_SPLIT_CTE,
+        _incremental_tail_sql,
+    )
+
+    t0 = time.time()
+    spark_pdf = _spark_result("dedup_incremental", sf_dir)
+    k = _chunks()
+    con = duck_connection(sf_dir)
+    _build_sigs_chunked(con, k)
+    duck_pdf = con.execute(
+        f"WITH {_INCREMENTAL_SPLIT_CTE},\n"
+        "    sigs AS (SELECT * FROM sigs_t),\n"
+        f"    {_incremental_tail_sql()}"
+    ).fetchdf()
+    con.close()
+    return _report(
+        "dedup_incremental",
+        f"FULL, chunked sigs TEMP TABLE ({k} slices)",
+        compare("dedup_incremental", spark_pdf, duck_pdf),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def check_pc_scan(sf_dir: str) -> int:
+    """embedding_top_pc: FULL exact — the registered oracle's Gram
+    self-join materializes n·d² rows (819M at sf10) in a non-spillable
+    hash build; gram_mode='scan' streams the same HUGEINT product terms
+    from one scan into the 4,096-group aggregate (identical values —
+    proven equal to the join form at sf0.01/sf0.1). Every CTE downstream
+    of g is the identical string."""
+    from gibbon_spark.queries_round2b import _pc_oracle_sql
+
+    t0 = time.time()
+    spark_pdf = _spark_result("embedding_top_pc", sf_dir)
+    con = duck_connection(sf_dir)
+    duck_pdf = con.execute(_pc_oracle_sql(gram_mode="scan")).fetchdf()
+    con.close()
+    return _report(
+        "embedding_top_pc",
+        "FULL, single-scan streaming Gram (no join)",
+        compare("embedding_top_pc", spark_pdf, duck_pdf),
+        len(spark_pdf),
+        t0,
+    )
+
+
+def check_neardup_relational_subset(sf_dir: str, pct: int) -> int:
+    """sim_embedding_neardup: both-endpoints md5 subset (pair membership
+    and cosine depend only on the two endpoint vectors — no bucket cap
+    in this query), with the band values built RELATIONALLY (planes
+    VALUES table + list_dot_product) instead of the registered oracle's
+    inline ±v[1]±…±v[64] sign chains, whose 32k-node expression trees
+    OOM DuckDB at sf10 independent of subset size — the same
+    restatement the knn oracle received. Band values are identical:
+    list_dot_product accumulates in index order, matching the inline
+    left-to-right chain bit-for-bit (knn_graph_lsh sf10 PASS
+    precedent)."""
+    from gibbon_spark.operators import similarity
+    from gibbon_spark.queries_llm import _COSINE_SQL
+
+    t0 = time.time()
+    spark_full = _spark_result("sim_embedding_neardup", sf_dir)
+    keep = (
+        spark_full["id_a"].map(lambda i: _in_subset(i, pct))
+        & spark_full["id_b"].map(lambda i: _in_subset(i, pct))
+    ).astype(bool)
+    spark_sub = spark_full[keep].reset_index(drop=True)
+
+    band_bits = similarity.NEARDUP_BAND_BITS
+    signs = similarity.plane_signs(similarity.NEARDUP_PLANES, 64)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(float(w)) for w in signs[p])}]::DOUBLE[])"
+        for p in range(similarity.NEARDUP_PLANES)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_pred_sql('vec_id', pct)}),
+    planes(plane_id, w) AS (VALUES {plane_rows}),
+    dots AS (
+      SELECT e.vec_id, p.plane_id // {band_bits} AS band_idx,
+             CASE WHEN list_dot_product(e.v, p.w) >= 0
+                  THEN (1 << (p.plane_id % {band_bits})) ELSE 0 END AS bit
+      FROM e, planes p
+    ),
+    bands AS MATERIALIZED (
+      SELECT vec_id, band_idx, CAST(sum(bit) AS BIGINT) AS band_val
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {_COSINE_SQL} AS cosine_sim
+    FROM cand c
+    JOIN e a ON c.id_a = a.vec_id
+    JOIN e b ON c.id_b = b.vec_id
+    WHERE {_COSINE_SQL} >= 0.4
+    """
+    con = duck_connection(sf_dir)
+    duck_pdf = con.execute(sql).fetchdf()
+    con.close()
+    return _report(
+        "sim_embedding_neardup",
+        f"both-endpoints md5 subset {pct}%, relational band build",
+        compare("sim_embedding_neardup", spark_sub, duck_pdf),
+        len(spark_sub),
+        t0,
+    )
+
+
 def check_cc_full(sf_dir: str) -> int:
     """dedup_clusters_cc: FULL exact via iterative min-label propagation
-    over the identical capped-LSH edge set."""
-    from gibbon_spark.queries_llm import _minhash_oracle_sql
+    over the identical capped-LSH edge set. The pair table builds
+    through the chunked-sigs path (exact at every SF; at sf10 the
+    one-shot sigs aggregate is the disk-filling stage)."""
+    from gibbon_spark.queries_llm import _minhash_tail_sql
 
     t0 = time.time()
     spark_pdf = _spark_result("dedup_clusters_cc", sf_dir)
 
     con = duck_connection(sf_dir)
+    _sigs_table(con, sf_dir)
     con.execute(
-        f"CREATE TEMP TABLE pairs AS {_minhash_oracle_sql()}"
+        "CREATE TEMP TABLE pairs AS "
+        f"WITH sigs AS (SELECT * FROM sigs_t),\n    {_minhash_tail_sql()}"
     )
     con.execute(
         "CREATE TEMP TABLE edges AS "
@@ -481,6 +706,14 @@ def main() -> int:
     name = sys.argv[2]
     if name == "dedup_clusters_cc":
         return check_cc_full(sf_dir)
+    if name == "dedup_minhash_lsh":
+        return check_minhash_chunked(sf_dir)
+    if name == "pipeline_training_corpus":
+        return check_pipeline_chunked(sf_dir)
+    if name == "dedup_incremental":
+        return check_incremental_chunked(sf_dir)
+    if name == "embedding_top_pc":
+        return check_pc_scan(sf_dir)
     if name == "graph_triangle_count":
         return check_triangles_full(sf_dir)
     if name == "skyline_orders":
@@ -490,6 +723,8 @@ def main() -> int:
             name, sf_dir, int(sys.argv[3]) if len(sys.argv) > 3 else 2
         )
     pct = int(sys.argv[3]) if len(sys.argv) > 3 else SUBSET_PCT[name]
+    if name == "sim_embedding_neardup":
+        return check_neardup_relational_subset(sf_dir, pct)
     if name == "knn_graph_lsh":
         return check_knn_subset(name, sf_dir, pct)
     return check_pairwise_subset(name, sf_dir, pct)
