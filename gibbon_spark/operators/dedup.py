@@ -202,14 +202,30 @@ def jaccard_pairs_prefix(
         )
         .distinct()
     )
-    # sizes ride along from the prefix join — no separate size-table joins
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("_sh"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("_sh"))
+    # Exact-|∩| verify on per-doc shingle ARRAYS (r12): the old verify
+    # re-exploded the inverted index under the candidates — cand ⋈ sh_a
+    # ⋈ sh_b materialized Σ_cand |A| rows (measured 50M rows for 810k
+    # candidates at sf0.1) into a giant pair-keyed count. Joining each
+    # candidate to the two docs' collected shingle arrays instead and
+    # taking size(array_intersect(...)) computes the same |∩| (arrays
+    # are the docs' DISTINCT shingle sets, so set-semantics intersect
+    # is exact) with pair-count-sized joins — interleaved A/B at sf0.1
+    # won every rep (min 6.0 vs 7.6 s full-query, tails 10 vs 45 s).
+    # arrs groups the checkpointed sh without a shuffle (id-clustered);
+    # per-row memory is bounded by the largest doc's shingle set, the
+    # same class as the source text column itself (~3x text bytes).
+    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
     out = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "_sh"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("_arr").alias("_arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("_arr").alias("_arr_b")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_arr_a", "_arr_b")))
+        .drop("_arr_a", "_arr_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -300,18 +316,33 @@ def containment_pairs_prefix(
         )
         .distinct()
     )
-    sh_a = sh.select(F.col("id").alias("id_contained"), F.col("shingle").alias("_sh"))
-    sh_b = sh.select(F.col("id").alias("id_container"), F.col("shingle").alias("_sh"))
     # Integer-exact threshold (same reasoning as jaccard_pairs_prefix):
     # the prefix guarantees candidates with UNROUNDED C >= t, so the final
     # filter must not use round(C, 6) — a ratio in [t - 5e-7, t) that
     # rounds up would pass a rounded filter without ever being generated.
     t_ppm = int(round(t * 1_000_000))
+    # per-doc-array verify, same rationale and exactness argument as
+    # jaccard_pairs_prefix (r12): size(array_intersect) over the two
+    # docs' distinct-shingle arrays replaces the 50M-row re-explosion
+    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
     out = (
-        cand.join(sh_a, "id_contained")
-        .join(sh_b, ["id_container", "_sh"])
-        .groupBy("id_contained", "id_container", "n_contained", "n_container")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            arrs.select(
+                F.col("id").alias("id_contained"), F.col("_arr").alias("_arr_a")
+            ),
+            "id_contained",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_container"), F.col("_arr").alias("_arr_b")
+            ),
+            "id_container",
+        )
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long"),
+        )
+        .drop("_arr_a", "_arr_b")
         .withColumn(
             "containment", F.round(F.col("n_inter") / F.col("n_contained"), 6)
         )

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gibbon_spark.functions import exact as exact_fns
+
 # ---------------------------------------------------------------------------
 # Normalization: any table -> the engine's canonical stream schema
 # (series_id string, ts timestamp, value double) — SURVEY.md §1.3 / FIXTURES.md F1.
@@ -79,14 +81,17 @@ def _exact_avg(value: str):
 
     Trade-off (why this is OPT-IN, not the generic contract): the 4 dp
     pre-round quantizes sub-1e-4 magnitudes (values of 2e-5 average to
-    0) and |sum| >= 1e20 overflows decimal(24,4) to NULL. Fine for the
-    oracle-paired gate queries' 2-dp money data; wrong as a default for
-    a generic library operator, which is why ``summary``/
-    ``summary_by_series``/``resample`` default to plain ``F.avg``.
+    0) and the 1e-4-scaled long numerator (r12, see
+    ``gibbon_spark.functions.exact.scaled_long`` for the equivalence to
+    the decimal(24,4) reference form) holds |sum| < 9.2e14 in value
+    units. Fine for the oracle-paired gate queries' 2-dp money data;
+    wrong as a default for a generic library operator, which is why
+    ``summary``/``summary_by_series``/``resample`` default to plain
+    ``F.avg``.
     """
     return F.round(
-        F.sum(F.round(F.col(value) + F.lit(1e-9), 4).cast("decimal(24,4)"))
-        .cast("double")
+        F.sum(exact_fns.scaled_long(F.col(value))).cast("double")
+        / F.lit(10000.0)
         / F.count(value)
         + F.lit(1e-9),
         6,

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gibbon_spark.functions import exact as exact_fns
 from gibbon_spark.operators import layout
 from gibbon_spark.operators import merge as merge_ops
 from gibbon_spark.operators import skew as skew_ops
@@ -133,30 +134,43 @@ def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def money_sum(col, dp: int = 2):
-    """Deterministic money-sum: round each row to 4 dp (+1e-9 keeps
+    """Deterministic money-sum, bit-identical to the DuckDB oracle's
+    ``CAST(round(sum(CAST(round((x) + 1e-9, 4) AS DECIMAL(24,4))), dp)
+    AS DOUBLE)`` at any magnitude: round each row to 4 dp (+1e-9 keeps
     exactly-representable ties off the half boundary, where Spark rounds
-    half-up and DuckDB half-even), sum EXACTLY as decimal (order-free),
-    round to ``dp`` places IN DECIMAL SPACE, and only then present as a
-    double. Per-row double math is bit-identical across engines, the
-    decimal sum is exact, decimal rounding ties break half-away-from-
-    zero in BOTH engines (probed incl. negatives), and casting the same
-    exact dp-place decimal to double is correctly rounded in both — so
-    the presented double is bit-identical at ANY magnitude.
+    half-up and DuckDB half-even), sum EXACTLY (order-free), round to
+    ``dp`` places in exact integer space, and only then present as a
+    double.
 
-    The older form rounded AFTER a cast to double
-    (``round(CAST(sum AS DOUBLE) + 1e-9, dp)``): at sf10 the big money
-    sums reach ~1e13 where a double ULP is ~0.002, and the two engines'
+    Implementation (r12 optimization): the exact sum is carried as a
+    1e-4-scaled BIGINT (:func:`_scaled_long`) instead of
+    ``decimal(24,4)`` — same exact value per row (verified row-for-row
+    on the gate data and end-to-end by the oracle gate), but the
+    per-row BigDecimal construction and the non-compact decimal(34,4)
+    sum buffer become plain codegen long arithmetic: measured 2.3 s →
+    0.7 s on q1's 8-aggregate pass at sf0.1. The dp-place rounding
+    happens in integer space (:func:`_round_scaled_long`, exactly
+    BigDecimal HALF_UP), and the final ``q / 10^dp`` double division is
+    correctly rounded — the same double the decimal cast produced
+    (OpenJDK BigDecimal.doubleValue computes (double)unscaled/10^scale
+    for compact values, and is correctly rounded in general).
+
+    Why not round AFTER a cast to double: at sf10 the big money sums
+    reach ~1e13 where a double ULP is ~0.002, and the two engines'
     round(double, 2) disagree on the SAME bit pattern — Spark rounds
     the double's shortest decimal representation (BigDecimal.valueOf →
     Double.toString) while DuckDB rounds its exact binary value, e.g.
     decimal 10116031050223.8550 → double ...223.85499…, Spark .86 vs
-    DuckDB .85 (caught by the round-9 sf10 oracle sweep on q1/q7). No
-    outer nudge is needed in decimal space: exact decimals have no
-    representation fuzz, so ties are real ties, handled identically."""
-    return (
-        F.round(F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")), dp)
-        .cast("double")
-    )
+    DuckDB .85 (caught by the round-9 sf10 oracle sweep on q1/q7).
+    Sum-domain bound: the long sum itself is exact through ~sf1500
+    (|Σ round(x,4)·1e4| < 2^63), and the final cast is single-rounded
+    while |q| < 2^53 — ~sf80 for the biggest TPC-H money sums (sf10,
+    the largest gate, sits at ~1e15, an order inside the bound). Past
+    that, return to the decimal(24,4) reference form this replaces."""
+    s = F.sum(exact_fns.scaled_long(col))
+    sc = 10 ** (4 - dp)
+    q = exact_fns.round_scaled_long(s, sc) if sc > 1 else s
+    return (q.cast("double") / F.lit(float(10**dp)))
 
 
 def money_sum_sql(expr: str, dp: int = 2) -> str:
@@ -167,14 +181,21 @@ def money_sum_sql(expr: str, dp: int = 2) -> str:
 
 
 def exact_avg(col):
-    """Association-order-free mean: exact decimal numerator (4 dp
-    pre-round, same guard as money_sum) divided by the non-null count,
-    presented at 6 dp. A raw round(avg(x), 6) can sit within 1 ulp of a
-    rounding boundary and flip between Spark's parallel sum and the
-    oracle's ordered sum — observed at sf0.1; this form hashes
-    identically at any parallelism. exact_avg_sql is the oracle twin."""
+    """Association-order-free mean: exact numerator (4 dp pre-round,
+    same guard as money_sum) divided by the non-null count, presented
+    at 6 dp. A raw round(avg(x), 6) can sit within 1 ulp of a rounding
+    boundary and flip between Spark's parallel sum and the oracle's
+    ordered sum — observed at sf0.1; this form hashes identically at
+    any parallelism. exact_avg_sql is the oracle twin.
+
+    The numerator is carried as the 1e-4-scaled BIGINT of
+    :func:`gibbon_spark.functions.exact.scaled_long` (r12, same
+    rationale and verified domain as money_sum); ``(double)S / 10000.0``
+    reproduces the reference ``decimal(24,4)→double`` cast bit-for-bit
+    (OpenJDK BigDecimal.doubleValue computes exactly this for compact
+    values), and everything after the cast is unchanged."""
     return F.round(
-        F.sum(F.round(col + F.lit(1e-9), 4).cast("decimal(24,4)")).cast("double")
+        F.sum(exact_fns.scaled_long(col)).cast("double") / F.lit(10000.0)
         / F.count(col)
         + F.lit(1e-9),
         6,
