@@ -191,10 +191,12 @@ def main() -> None:
         for n, t in pass_t.items():
             timings[n] = min(timings.get(n, float("inf")), t)
 
-    def _rerun(name: str, keep) -> None:
+    def _rerun(name: str, keep) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = keep(timings[name], round(time.time() - t0, 4))
+        t_new = round(time.time() - t0, 4)
+        timings[name] = keep(timings[name], t_new)
+        return t_new
 
     # this box shares a host; a noisy-neighbor burst can inflate one or
     # two queries by 10-30s in a single pass. Re-run clear outliers
@@ -251,7 +253,19 @@ def main() -> None:
                 _rerun(name, min)
                 n_reruns += 1
             elif t < pt / 1.3 and norm_ratio < 1 / 1.3 and pt > 0.5:
-                _rerun(name, max)
+                # measurement fix (r12): the skeptical max-keep is only
+                # correct when the confirm run FAILS to reproduce the
+                # speedup. When the confirm run is ALSO raw-fast vs the
+                # persisted baseline, both measurements agree the plan
+                # got faster and the min is the honest record; max-keep
+                # here let a single noise burst during the confirm run
+                # overwrite two consistent fast passes (observed: 8.2 s
+                # and 2.9 s passes, 42 s confirm under load, 42 s
+                # published as a 2.1x "regression" on the round's
+                # biggest genuine improvement).
+                t2 = _rerun(name, max)
+                if t2 < pt / 1.3:
+                    timings[name] = min(t, t2)
                 n_reruns_fast += 1
 
     # median of the three interleaved probes; spread = max/min exposes

@@ -123,7 +123,7 @@ class GibbonSpark:
         return _bucketed.compression_stats(self.spark, path)
 
     def write_gorilla_store(self, blocks: DataFrame, path: str, **kw) -> None:
-        """Persist encode_blocks() output as a bucket-partitioned table."""
+        """Persist encode_blocks() output as a day-partitioned table."""
         _bucketed.write_gorilla_store(blocks, path, **kw)
 
     def read_gorilla_store(self, path: str, **kw) -> DataFrame:

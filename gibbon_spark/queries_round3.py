@@ -156,10 +156,10 @@ def q_gorilla_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: encode is one shuffle on (series, header) then
     embarrassingly-parallel mapInPandas; the store write repartitions
-    by bucket (one task per partition dir, no small-files explosion);
-    decode is shuffle-free; the final 1-row aggregate is map-side
-    combined. The n_buckets distinct rides the already-tiny per-block
-    frame."""
+    by (day, series-hash) into a bounded number of files per day dir
+    (no small-files explosion, no per-2h-dir commit overhead); decode
+    is shuffle-free; the final 1-row aggregate is map-side combined.
+    The n_buckets distinct rides the already-tiny per-block frame."""
     import os
 
     from gibbon_spark.codec import spark_ops

@@ -141,23 +141,51 @@ def read_bucketed(
     return df
 
 
-def write_gorilla_store(blocks: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+DAY = 86400
+
+
+def write_gorilla_store(
+    blocks: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    day_files: int | None = None,
+) -> None:
     """Persist gorilla-encoded blocks (codec/spark_ops.encode_timeseries
     output: one BinaryType payload per (series, 2h header bucket)) as a
     partitioned on-disk table — the reference's full storage lifecycle
     (``examples/csv_to_packed.rs:15-113`` ingests, packs and stores
     bit-streams keyed by a 2h-aligned header time) as a durable table.
 
-    Partition column ``bucket`` IS the Gorilla header time (epoch
-    seconds, already 2h-aligned by the encoder), so a time-range read
-    prunes whole bucket directories exactly like the reference skips
-    whole blocks. The payload stays gorilla-bit-packed; parquet is only
-    the container for (key, n_samples, n_bits, payload) rows."""
+    Layout: one directory per DAY (``bucket_day``) with ``day_files``
+    series-hashed files per day, each file sorted by (header_time,
+    series_id). A time-range read prunes whole day directories, then
+    parquet row-group min/max stats on the sorted ``header_time``
+    column skip the 2h blocks inside each file — the reference's block
+    skipping at two granularities, with 12x fewer directories/files
+    than one-dir-per-2h-bucket (the layout this replaced: 360 dirs of
+    one tiny file each at sf0.1, whose per-directory commit + listing
+    overhead dominated the store's write AND read wall time). The
+    payload stays gorilla-bit-packed; parquet is only the container
+    for (key, n_samples, n_bits, payload) rows.
+
+    ``day_files`` caps files per day directory regardless of executor
+    count (same discipline as ``write_bucketed``); raise it on a real
+    cluster via GS_STORE_DAY_FILES so per-file size stays in the
+    128 MB-1 GB band at 100 TB."""
+    if day_files is None:
+        day_files = int(os.environ.get("GS_STORE_DAY_FILES", "4"))
     (
-        blocks.withColumn("bucket", F.col("header_time"))
-        .repartition(F.col("bucket"))
+        blocks.withColumn(
+            "bucket_day", F.col("header_time") - F.col("header_time") % DAY
+        )
+        .repartition(
+            F.col("bucket_day"),
+            (F.abs(F.hash("series_id")) % day_files).alias("sb"),
+        )
+        .sortWithinPartitions("header_time", "series_id")
         .write.mode(mode)
-        .partitionBy("bucket")
+        .partitionBy("bucket_day")
         .parquet(path)
     )
 
@@ -169,15 +197,21 @@ def read_gorilla_store(
     start_epoch: int | None = None,
     end_epoch: int | None = None,
 ) -> DataFrame:
-    """Scan a gorilla block store with block-level time pruning on the
-    partition column (a filter on ``bucket`` never lists pruned
-    directories — strictly the reference's block skipping). Returns the
-    block frame ready for codec/spark_ops.decode_timeseries."""
+    """Scan a gorilla block store with two-level time pruning: the
+    ``bucket_day`` partition filter never lists pruned day directories,
+    and the exact ``header_time`` predicate lands on parquet row-group
+    stats (files are written sorted by header_time) — together strictly
+    the reference's block skipping. Returns the block frame ready for
+    codec/spark_ops.decode_timeseries."""
     df = spark.read.parquet(path)
     if start_epoch is not None:
-        df = df.filter(F.col("bucket") >= int(start_epoch) - 7200)
+        lo = int(start_epoch) - 7200
+        df = df.filter(F.col("bucket_day") >= lo - lo % DAY)
+        df = df.filter(F.col("header_time") >= lo)
     if end_epoch is not None:
-        df = df.filter(F.col("bucket") < int(end_epoch))
+        hi = int(end_epoch)
+        df = df.filter(F.col("bucket_day") < hi)
+        df = df.filter(F.col("header_time") < hi)
     return df.select("series_id", "header_time", "n_samples", "n_bits", "payload")
 
 

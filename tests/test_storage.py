@@ -100,6 +100,68 @@ def test_compact_bucketed_restores_file_discipline(spark, store):
     assert a == b
 
 
+@pytest.fixture(scope="module")
+def block_store(spark):
+    """Gorilla block store written with the day-partitioned layout."""
+    from gibbon_spark.codec import spark_ops
+
+    events = load_table(spark, SF_SMALL, "events")
+    blocks = spark_ops.encode_timeseries(events, series=["user_id"])
+    d = tempfile.mkdtemp(prefix="gibbon_blockstore_")
+    path = os.path.join(d, "blocks")
+    bucketed.write_gorilla_store(blocks, path, day_files=2)
+    return path
+
+
+def test_gorilla_store_day_layout_bounded_files(spark, block_store):
+    dirs = [d for d in os.listdir(block_store) if d.startswith("bucket_day=")]
+    assert 20 <= len(dirs) <= 40  # a month of data -> ~30 day dirs, not 360 2h dirs
+    for b in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(block_store, b))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 2  # day_files caps fan-out per day
+
+
+def test_gorilla_store_roundtrip_exact(spark, block_store):
+    from gibbon_spark.codec import spark_ops
+
+    events = load_table(spark, SF_SMALL, "events")
+    decoded = spark_ops.decode_timeseries(
+        bucketed.read_gorilla_store(spark, block_store)
+    )
+    raw = events.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.unix_timestamp("ts").alias("ts"),
+        "value",
+    )
+    a = sorted(map(tuple, decoded.collect()))
+    b = sorted(map(tuple, raw.collect()))
+    assert a == b
+
+
+def test_gorilla_store_range_read_prunes_day_dirs(spark, block_store):
+    full = bucketed.read_gorilla_store(spark, block_store)
+    lo, hi = 1704844800, 1704931200  # one mid-range day
+    ranged = bucketed.read_gorilla_store(
+        spark, block_store, start_epoch=lo, end_epoch=hi
+    )
+    expected = full.filter(
+        (F.col("header_time") >= lo - 7200) & (F.col("header_time") < hi)
+    )
+    assert sorted(map(tuple, ranged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # partition pruning: only the 1-2 matching day dirs are read
+    read_files = ranged.select(F.input_file_name()).distinct().count()
+    full_files = full.select(F.input_file_name()).distinct().count()
+    assert read_files <= 4 < full_files
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
 def test_expire_buckets_retention(spark, store):
     """Copy the store, expire everything before a mid-range cutoff, and
     check exactly the old buckets are gone and the data still reads."""
