@@ -1967,12 +1967,17 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hval",
         "i",
     )
-    h = F.conv(
-        F.expr("substr(hval, cast(i * 4 + 1 as int), 4)"), 16, 10
-    ).cast("bigint")
-    k = F.when(h < _POIS_BOUNDS[0], 0)
+    # Draw comparison done directly on the 4-char hex substring: Spark's
+    # md5 emits fixed-width lowercase hex, where lexicographic order IS
+    # numeric order ('0'-'9' < 'a'-'f' in ASCII), so `hex4 < '5e2d'` ⟺
+    # `conv(hex4,16,10) < 24109` — same k for every row, but a 4-byte
+    # string compare instead of a per-row radix conversion (r12: conv
+    # cost +1.5 s over the 4.8M exploded rows at sf0.1; interleaved A/B
+    # full-query 3.06 → 2.18 s, identical output).
+    s4 = F.expr("substr(hval, cast(i * 4 + 1 as int), 4)")
+    k = F.when(s4 < format(_POIS_BOUNDS[0], "04x"), 0)
     for i, bound in enumerate(_POIS_BOUNDS[1:], start=1):
-        k = k.when(h < bound, i)
+        k = k.when(s4 < format(bound, "04x"), i)
     k = k.otherwise(6)
     d38 = "decimal(38,0)"
     rep = (
