@@ -794,14 +794,24 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor already caps hot vertices. The three scalar outputs aggregate
     to one row — no global sort anywhere."""
     (li,) = _prep(spark, sf_dir, "lineitem")
-    items = li.select(
+    # r12: edge enumeration via per-basket pair generation instead of
+    # the okey self-join — same rewrite (and equivalence argument) as
+    # basket_part_pairs: sorted distinct parts per order give exactly
+    # the pa < pb combinations, counted map-side before one (pa, pb)
+    # shuffle (guide §2.3/§2.4). Interleaved A/B at sf0.1: full query
+    # min 4.61 s → 3.97 s (the residual cost is the wedge joins + the
+    # two eager materializes, not the edge build).
+    baskets = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    a = items.select("okey", F.col("part").alias("pa"))
-    b = items.select("okey", F.col("part").alias("pb"))
+    ).groupBy("okey").agg(F.sort_array(F.collect_set("part")).alias("parts"))
+    pairs_arr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
     edges = (
-        a.join(b, "okey")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
