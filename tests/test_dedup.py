@@ -65,6 +65,46 @@ def test_jaccard_prefix_equals_naive(spark):
         assert pref == naive, f"threshold {t}: {pref} != {naive}"
 
 
+def test_jaccard_prefix_positional_boundary(spark):
+    """The r12 PPJoin positional filter must keep pairs whose overlap
+    sits EXACTLY at the α = ⌈t·(|A|+|B|)/(1+t)⌉ bound (the tightest
+    case the prune is allowed to touch). Unigram shingles (n=1) make
+    the shingle sets equal the token sets, so overlaps are crafted
+    exactly: (|A|, |B|, |∩|) cases at, just above, and just below the
+    t = 0.5 boundary."""
+    # tokens are globally unique unless shared on purpose
+    cases = [
+        # (nA, nB, n_inter) -> expect J = inter/(nA+nB-inter) vs 0.5
+        (3, 3, 2),  # J = 0.5  exactly -> kept (alpha = 2, bound tight)
+        (4, 4, 3),  # J = 0.6         -> kept
+        (4, 4, 2),  # J = 1/3         -> dropped
+        (4, 2, 2),  # J = 0.5 exactly, size-ratio boundary -> kept
+        (6, 2, 2),  # J = 1/3         -> dropped (size-ratio prunes too)
+    ]
+    rows = []
+    expected = {}
+    for ci, (na, nb, ni) in enumerate(cases):
+        shared = [f"s{ci}x{j}" for j in range(ni)]
+        a_toks = shared + [f"a{ci}x{j}" for j in range(na - ni)]
+        b_toks = shared + [f"b{ci}x{j}" for j in range(nb - ni)]
+        ida, idb = 1000 * ci, 1000 * ci + 1
+        rows.append((ida, " ".join(a_toks)))
+        rows.append((idb, " ".join(b_toks)))
+        j = ni / (na + nb - ni)
+        if j >= 0.5:
+            expected[(ida, idb)] = round(j, 6)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs_prefix(docs, n=1, threshold=0.5).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    }
+    assert pref == naive == expected
+
+
 def test_jaccard_prefix_hot_shingle_excluded(spark):
     """A boilerplate shingle shared by every doc must not create
     candidates between otherwise-unrelated docs: the prefix index
