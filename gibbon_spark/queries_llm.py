@@ -1746,8 +1746,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix_hashes = index.select(content_hash.alias("content_hash")).distinct()
     inc = incoming.select("doc_id", content_hash.alias("content_hash"))
 
-    sigs_in = dedup.minhash_signatures(incoming)
-    sigs_ix = dedup.minhash_signatures(index)
+    # r12 (guide §2.1): signatures were built in TWO separate
+    # shingle+12-md5-aggregate passes (one per split side) over disjoint
+    # halves of the same corpus. One build over the full tagged corpus
+    # costs the same row count in a single pass; the side tag is
+    # recomputed from the id (same deterministic md5 bucket as the
+    # split) and the table is checkpointed once, so both cross-join
+    # sides filter the same stored blocks. Per-side signature sets are
+    # byte-identical (the split partitions docs). Interleaved A/B at
+    # sf0.1: wins every rep, min 4.09 → 3.02 s, identical 1019 rows.
+    sigs_all = dedup.minhash_signatures(tagged)
+    sig_bucket = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 10
+    )
+    sigs_all = sigs_all.withColumn("__b", sig_bucket).transform(
+        materialize, eager=True
+    )
+    sigs_in = sigs_all.filter(F.col("__b") >= 8).drop("__b")
+    sigs_ix = sigs_all.filter(F.col("__b") < 8).drop("__b")
     near = (
         dedup.lsh_candidate_pairs_cross(
             sigs_in, sigs_ix, max_bucket=dedup.LSH_MAX_BUCKET
