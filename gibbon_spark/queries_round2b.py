@@ -153,12 +153,17 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.length("text") - _SUB_W + 1, F.lit(1)),
         F.lit(_SUB_S),
     )
+    # r12 (guide §2.1): wins feeds BOTH the distinct→count-per-hash
+    # aggregate and the join-back — without a checkpoint the window
+    # explode + per-window md5 replays once per consumer. The table is
+    # 40-byte (doc_id, hash) rows, chars/8 of them. Interleaved A/B at
+    # sf0.1: wins every rep, min 2.31 → 1.47 s, identical output.
     wins = docs.select(
         "doc_id", F.explode(starts).alias("pos"), F.col("text")
     ).select(
         "doc_id",
         F.md5(F.expr(f"substr(text, pos, {_SUB_W})")).alias("wh"),
-    )
+    ).transform(materialize, eager=True)
     per_hash = (
         wins.select("wh", "doc_id")
         .distinct()
