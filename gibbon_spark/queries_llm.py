@@ -2070,7 +2070,14 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 50 == 0
     )
-    tagged = sh.withColumn("is_bench", is_bench)
+    # r12 (guide §2.1): tagged feeds THREE consumers (bench set, per-doc
+    # totals, semi-join probe) — without a checkpoint the shingle
+    # explode+window+distinct replays per consumer. Interleaved A/B at
+    # sf0.1: wins 4/5 adjacent pairs, min 4.69 → 2.94 s (slow epoch),
+    # identical 20 rows.
+    tagged = sh.withColumn("is_bench", is_bench).transform(
+        materialize, eager=True
+    )
     bench = tagged.filter("is_bench").select("shingle").distinct()
     corp = tagged.filter(~F.col("is_bench")).select("id", "shingle")
     tot = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
