@@ -3475,43 +3475,49 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # localCheckpoint (eager) truncates lineage: without it the 5
-    # iterations re-print the whole edge-build subtree per step and the
-    # final plan is unreadable/unplannable at depth; with it the big
-    # 4-way join runs exactly once and iterations start from a
-    # materialized 625-row scan.
-    en = (
+    # r12 (guide §1.2 "the distributed algorithm" + the embedding_top_pc
+    # precedent): the ONLY scale-heavy stage is the 4-way join that
+    # reduces lineitem to the nation-graph edge list — ≤ 625 rows at ANY
+    # data scale (nation × nation is schema-bounded, like the 64×64 Gram
+    # in embedding_top_pc). The 5 synchronous iterations previously ran
+    # as 5 broadcast-join + aggregate jobs plus per-round eager
+    # checkpoints over that 625-row table — ~11 scheduler round-trips of
+    # pure fixed cost, SF-independent but never free. The iterations are
+    # exact fixed-point BIGINT arithmetic (order-free integer sums,
+    # floor `div`), so running them driver-side on the collected edge
+    # list is bit-identical to the distributed plan — same class of
+    # bounded-driver-state fold as embedding_top_pc's power iteration
+    # (~15 KB here). Interleaved same-session A/B at sf0.1 and
+    # row-exactness vs the old plan: see OPTIMIZATION_r12.md.
+    en_rows = (
         edges.join(outw, "src")
         .select("src", "dst", F.expr("(w * 1000000) div out_w").alias("wn"))
-        .transform(materialize, eager=True)
+        .collect()
     )
-    ncnt = nation.agg(F.count(F.lit(1)).alias("n_nodes"))
-    meta = (
-        nation.select(F.col("n_nationkey").alias("node"))
-        .crossJoin(F.broadcast(ncnt))
-        .transform(materialize, eager=True)
-    )
-    pr = meta.select("node", F.expr("1000000000000 div n_nodes").alias("pr"))
+    node_rows = nation.select("n_nationkey", "n_name").collect()
+    n_nodes = len(node_rows)
+    nodes = [int(r["n_nationkey"]) for r in node_rows]
+    # referential integrity guard: an edge endpoint outside nation would
+    # have been dropped by the old plan's inner/left joins on node
+    node_set = set(nodes)
+    en_list = [
+        (int(r["src"]), int(r["dst"]), int(r["wn"]))
+        for r in en_rows
+        if int(r["src"]) in node_set and int(r["dst"]) in node_set
+    ]
+    pr = {nd: 1_000_000_000_000 // n_nodes for nd in nodes}
+    base = 15_000_000_000_000 // (100 * n_nodes)
     for _ in range(_PAGERANK_ITERS):
-        inc = (
-            en.join(F.broadcast(pr), en.src == pr.node)
-            .select("dst", F.expr("(pr * wn) div 1000000").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = meta.join(F.broadcast(inc), meta.node == inc.dst, "left").select(
-            "node",
-            F.expr(
-                "(15000000000000 div (100 * n_nodes))"
-                " + ((85 * coalesce(s, 0)) div 100)"
-            ).alias("pr"),
-        ).transform(materialize, eager=True)
-    return pr.join(
-        F.broadcast(
-            nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        ),
-        "node",
-    ).select(F.col("n_name").alias("nation"), F.col("pr").alias("pr_scaled"))
+        s = dict.fromkeys(nodes, 0)
+        for src, dst, wn in en_list:
+            # per-edge floor division BEFORE the sum — mirrors the
+            # distributed `(pr * wn) div 1000000` then SUM exactly
+            s[dst] += (pr[src] * wn) // 1_000_000
+        pr = {nd: base + (85 * s[nd]) // 100 for nd in nodes}
+    return spark.createDataFrame(
+        [(str(r["n_name"]), pr[int(r["n_nationkey"])]) for r in node_rows],
+        "nation string, pr_scaled long",
+    )
 
 
 # =========================================================================
