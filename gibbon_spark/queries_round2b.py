@@ -2742,99 +2742,139 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches across engines. Emits per-cluster size, exact inertia,
     and the first two centroid coordinates.
 
-    Scale posture: each round is two keyed aggregations over the
-    (point, dim) x centroid join — the centroid side is k x d = 512
-    rows, broadcast; localCheckpoint pins each round's centroids so
-    plan depth stays O(1) per round. Per-round cost is independent of
-    iteration count, the pagerank/power-iteration posture."""
+    Scale posture (r12 restructure, guide §1.2 + §4.2 and the MLlib
+    KMeans / embedding_top_pc pattern): each Lloyd round is ONE
+    Arrow-batched integer-GEMM pass over the corpus that emits k×(d+2)
+    bounded partial sums per task (assignment sums, counts, inertia),
+    merged by a tiny keyed aggregate; the centroid update — k×d ≈ 512
+    integers of driver state, corpus-size-independent — folds
+    driver-side with the EXACT arithmetic of the old distributed plan
+    (IEEE-double mean then floor(x+0.5); all distances exact int64;
+    argmin ties to the lowest cluster id via first-occurrence argmin,
+    identical to min(dist*16+j)). The old plan broadcast-joined the
+    (point, dim)-exploded table against the centroid grid — 512·N
+    expression-level rows and an N×k shuffle per round, plus an eager
+    checkpoint per round (27 scheduler jobs measured at sf0.1); this
+    plan shuffles only tasks × 528 partial rows per round. Row-exact
+    vs the old plan and oracle-gated at sf0.01 + sf0.1; interleaved
+    A/B in OPTIMIZATION_r12.md."""
+    import numpy as np
+
     (emb,) = _prep(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "ef")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("ef").cast("double") * 10000 + 0.5)
-        .cast("bigint")
-        .alias("ev"),
-    )
-    seeds = (
+    k, d = _KM_K, _KM_DIMS
+    feat = emb.select("vec_id", F.col("embedding").alias("vec"))
+    seed_pdf = (
         emb.select(
             "vec_id",
             F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.col("embedding").alias("vec"),
         )
         .orderBy("h", "vec_id")
-        .limit(_KM_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("j"),
-        )
+        .limit(k)
+        .toPandas()
     )
-    c = (
-        seeds.join(e, "vec_id")
-        .select("j", "i", F.col("ev").alias("cv"))
-        .transform(materialize, eager=True)
-    )
+    # j = 0..k-1 in (md5, vec_id) order — the old row_number() seeding
+    cent = np.floor(
+        np.stack(seed_pdf["vec"].to_numpy()).astype("float64") * 10000 + 0.5
+    ).astype(np.int64)
+    j_ids = list(range(len(cent)))  # original cluster ids, ascending
 
-    def assign(cent):
-        d = (
-            e.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "j")
-            .agg(
-                F.sum(
-                    (F.col("ev") - F.col("cv")) * (F.col("ev") - F.col("cv"))
-                ).alias("dist")
-            )
+    def round_partials(cent_arr, want_dist):
+        """One corpus pass: exact-int argmin assignment + bounded
+        partial sums. Emits (j, i, s) rows: i in 1..d = Σ ev_i per
+        cluster, i = 0 = point count, i = -1 = Σ min-dist (inertia,
+        only when want_dist). argmin(csq − 2·q·cᵀ) == argmin dist
+        (xsq is row-constant); np.argmin's first-occurrence tie break
+        == min(dist*16 + j) with j_ids ascending."""
+        csq = (cent_arr**2).sum(axis=1)
+        kk = len(cent_arr)
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            S = np.zeros((kk, d), dtype=np.int64)
+            C = np.zeros(kk, dtype=np.int64)
+            I = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.floor(
+                    np.stack(pdf["vec"].to_numpy()).astype("float64") * 10000
+                    + 0.5
+                ).astype(np.int64)
+                scores = csq[None, :] - 2 * (q @ cent_arr.T)
+                lab = scores.argmin(axis=1)
+                np.add.at(C, lab, 1)
+                np.add.at(S, lab, q)
+                if want_dist:
+                    xsq = (q * q).sum(axis=1)
+                    np.add.at(I, lab, scores[np.arange(len(q)), lab] + xsq)
+            js = np.repeat(np.arange(kk), d + (2 if want_dist else 1))
+            cols = ([-1, 0] if want_dist else [0]) + list(range(1, d + 1))
+            iis = np.tile(np.array(cols), kk)
+            vals = []
+            for j in range(kk):
+                if want_dist:
+                    vals.append(I[j])
+                vals.append(C[j])
+                vals.extend(S[j])
+            yield pd.DataFrame({"j": js, "i": iis, "s": np.array(vals, dtype=np.int64)})
+
+        merged = (
+            feat.mapInPandas(partials, "j int, i int, s long")
+            .groupBy("j", "i")
+            .agg(F.sum("s").alias("s"))
+            .collect()
         )
-        return d.groupBy("vec_id").agg(
-            (F.min(F.col("dist") * 16 + F.col("j")) % 16)
-            .cast("int")
-            .alias("j"),
-            F.expr("cast(min(dist * 16 + j) div 16 as bigint)").alias("dist"),
-        )
+        S = np.zeros((kk, d), dtype=object)
+        C = [0] * kk
+        I = [0] * kk
+        for r in merged:
+            jj, ii, s = int(r["j"]), int(r["i"]), int(r["s"])
+            if ii == 0:
+                C[jj] += s
+            elif ii == -1:
+                I[jj] += s
+            else:
+                S[jj][ii - 1] += s
+        return S, C, I
+
+    import math
 
     for _ in range(_KM_ITERS):
-        a = assign(c)
-        c = (
-            a.select("vec_id", "j")
-            .join(e, "vec_id")
-            .groupBy("j", "i")
-            .agg(
-                F.floor(
-                    F.sum("ev").cast("double") / F.count(F.lit(1)) + 0.5
+        S, C, _ = round_partials(cent, want_dist=False)
+        # empty clusters DROP (the old groupBy(j, i) emitted no rows for
+        # them); survivors keep their original j — j_ids stays ascending
+        # so first-occurrence argmin still ties to the lowest j
+        new_cent, new_ids = [], []
+        for row, (jid, n) in enumerate(zip(j_ids, C)):
+            if n > 0:
+                # identical to the old plan's
+                # floor(sum(ev)::double / count + 0.5) per dimension
+                new_cent.append(
+                    [int(math.floor(float(int(S[row][ii])) / n + 0.5)) for ii in range(d)]
                 )
-                .cast("bigint")
-                .alias("cv")
-            )
-            .transform(materialize, eager=True)
-        )
-    af = assign(c)
-    stats = af.groupBy("j").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.sum("dist").cast("bigint").alias("inertia"),
+                new_ids.append(jid)
+        cent = np.array(new_cent, dtype=np.int64)
+        j_ids = new_ids
+    S, C, I = round_partials(cent, want_dist=True)
+    out_rows = [
+        (int(j_ids[row]), int(C[row]), int(I[row]), int(cent[row][0]), int(cent[row][1]))
+        for row in range(len(j_ids))
+        if C[row] > 0
+    ]
+    frame = spark.createDataFrame(
+        out_rows, "cluster int, n_points bigint, inertia bigint, cv1 long, cv2 long"
     )
-    cdims = c.filter(F.col("i") <= 2)
-    return (
-        stats.join(F.broadcast(cdims), "j")
-        .groupBy("j", "n_points", "inertia")
-        .agg(
-            F.round(
-                F.max(F.when(F.col("i") == 1, F.col("cv"))) / 10000.0
-                + F.lit(1e-9),
-                4,
-            ).alias("c_dim1"),
-            F.round(
-                F.max(F.when(F.col("i") == 2, F.col("cv"))) / 10000.0
-                + F.lit(1e-9),
-                4,
-            ).alias("c_dim2"),
-        )
-        .select(
-            F.col("j").alias("cluster"),
-            "n_points",
-            "inertia",
-            "c_dim1",
-            "c_dim2",
-        )
+    # display rounding stays a Spark expression on the bounded frame so
+    # both engines share one rounding implementation (verify-skill rule)
+    return frame.select(
+        "cluster",
+        "n_points",
+        "inertia",
+        F.round(F.col("cv1") / 10000.0 + F.lit(1e-9), 4).alias("c_dim1"),
+        F.round(F.col("cv2") / 10000.0 + F.lit(1e-9), 4).alias("c_dim2"),
     )
 
 
