@@ -616,6 +616,25 @@ def ivf_train_centroids(train_pdf: pd.DataFrame, n_lists: int, seed: int):
     return cent
 
 
+def _ivf_codebook(feat: DataFrame, *, n_lists: int, seed: int):
+    """Train the IVF coarse quantizer from the deterministic bounded
+    sample: the ``_IVF_MAX_TRAIN`` ids with the smallest
+    md5("ivf-sample:{seed}:{id}") — a global top-k
+    (TakeOrderedAndProject), no full sort, replayed in SQL as
+    ORDER BY md5(...) LIMIT. ``feat`` must carry (id, vec)."""
+    train_pdf = (
+        feat.orderBy(
+            F.md5(F.concat(F.lit(f"ivf-sample:{seed}:"), F.col("id").cast("string"))),
+            "id",
+        )
+        .limit(_IVF_MAX_TRAIN)
+        .toPandas()
+    )
+    if not len(train_pdf):
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    return ivf_train_centroids(train_pdf, n_lists, seed)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     *,
@@ -642,21 +661,7 @@ def ivf_assign(
     feat = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    # deterministic bounded sample: the _IVF_MAX_TRAIN ids with the
-    # smallest md5("ivf-sample:{seed}:{id}") — a global top-k
-    # (TakeOrderedAndProject), no full sort, replayed in SQL as
-    # ORDER BY md5(...) LIMIT
-    train_pdf = (
-        feat.orderBy(
-            F.md5(F.concat(F.lit(f"ivf-sample:{seed}:"), F.col("id").cast("string"))),
-            "id",
-        )
-        .limit(_IVF_MAX_TRAIN)
-        .toPandas()
-    )
-    if not len(train_pdf):
-        raise ValueError("cannot build an IVF index over an empty corpus")
-    cent = ivf_train_centroids(train_pdf, n_lists, seed)
+    cent = _ivf_codebook(feat, n_lists=n_lists, seed=seed)
     csq = (cent**2).sum(axis=1)
 
     def assign(batches):
@@ -702,20 +707,29 @@ def ivf_topk(
     centroids are nearest each query (exact integer euclidean — the
     SAME metric the assignment uses, so the probe choice is replayable
     in the SQL oracle; ties to the lowest list id), then exact-cosine
-    rerank with the same batched-GEMM scorer as the LSH path. Candidate
-    fraction ≈ nprobe/n_lists of the corpus; recall asserted vs brute
-    force in tests/test_similarity.py and the sim_ivf_recall_check
-    twin."""
+    rerank. Candidate fraction ≈ nprobe/n_lists of the corpus; recall
+    asserted vs tests/test_similarity.py and the sim_ivf_recall_check
+    twin.
+
+    r12 (guide §4.1 "how many columns cross" + §1.2): the codebook and
+    every query's probe lists are driver-side constants BEFORE any
+    distributed work, so assignment, probe-list membership, and the
+    exact-cosine rerank fuse into ONE mapInPandas pass over the corpus
+    — the old two-pass shape (assign pass → broadcast probe join →
+    rerank pass) shipped every corpus vector through the JVM↔Arrow
+    boundary twice. Float paths are bit-identical to the old plan:
+    int64 GEMM argmin for assignment, per-row unit-norm + einsum dot
+    for the rerank (row-exact verified at sf0.001/0.01/0.1)."""
     import numpy as np
 
-    spark = embeddings.sparkSession
-    assigned, centroids = ivf_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed
+    feat = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    centroids = _ivf_codebook(feat, n_lists=n_lists, seed=seed)
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
     ).toPandas()
-    q_ids = q_pdf["query_id"].to_numpy()
+    q_ids = q_pdf["query_id"].to_numpy().astype("int64")
     q_mat = _unit_rows(q_pdf, "vec")
     q_int = np.floor(
         np.stack(q_pdf["vec"].to_numpy()).astype("float64") * IVF_QUANT + 0.5
@@ -724,41 +738,54 @@ def ivf_topk(
     dists = csq[None, :] - 2 * (q_int @ centroids.T)  # + qsq (row-const)
     # nprobe nearest lists per query, ties to the lowest list id:
     # lexsort by (dist, j) — exact integers, no float comparisons
-    probe_rows = []
+    probe_map: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         order = sorted(range(len(csq)), key=lambda j: (int(dists[qi, j]), j))
-        probe_rows.extend((int(q_ids[qi]), int(j)) for j in order[:nprobe])
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    cand = (
-        assigned.join(F.broadcast(probe_df), "list_id")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "id", "vec")
-    )
+        for j in order[:nprobe]:
+            probe_map.setdefault(int(j), []).append(qi)
 
-    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
-
-    def score(batches):
+    def cand_score(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf["id"].to_numpy()
             mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
-            norms = np.linalg.norm(mat, axis=1)
+            q = np.floor(mat * IVF_QUANT + 0.5).astype(np.int64)
+            # exact integer argmin ||x-c||^2 (xsq row-constant);
+            # np.argmin ties -> lowest list id, as in ivf_assign
+            lab = (csq[None, :] - 2 * (q @ centroids.T)).argmin(axis=1)
+            rows_l, qrow_l = [], []
+            for j, qrows in probe_map.items():
+                m = np.nonzero(lab == j)[0]
+                for qr in qrows:
+                    if len(m):
+                        rows_l.append(m)
+                        qrow_l.append(np.full(len(m), qr, dtype=np.int64))
+            if not rows_l:
+                continue
+            rows = np.concatenate(rows_l)
+            qrow = np.concatenate(qrow_l)
+            keep = ids[rows] != q_ids[qrow]  # self-exclusion
+            rows, qrow = rows[keep], qrow[keep]
+            if not len(rows):
+                continue
+            sel = mat[rows]
+            norms = np.linalg.norm(sel, axis=1)
             norms[norms == 0] = 1.0
-            unit = mat / norms[:, None]
-            rows = np.array([q_index[int(q)] for q in pdf["query_id"]])
-            sims = np.einsum("ij,ij->i", unit, q_mat[rows])
+            unit = sel / norms[:, None]
+            sims = np.einsum("ij,ij->i", unit, q_mat[qrow])
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "nbr_id": pdf["id"],
+                    "query_id": q_ids[qrow],
+                    "nbr_id": ids[rows],
                     "cosine_sim": sims,
                 }
             )
 
-    scored = cand.mapInPandas(score, _TOPK_SCHEMA).withColumn(
+    scored = feat.mapInPandas(cand_score, _TOPK_SCHEMA).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )
     w = Window.partitionBy("query_id").orderBy(
