@@ -445,75 +445,76 @@ def lsh_topk(
     """ANN top-k: candidates = vectors sharing any band (band_bits-wide
     chunk) of the 16-bit hyperplane bucket with a query, then the same
     batched-GEMM scoring as brute force, restricted to candidates.
-    Recall vs brute force is asserted in tests/test_similarity.py."""
-    n_bands = NUM_PLANES // band_bits
-    mask = (1 << band_bits) - 1
+    Recall vs brute force is asserted in tests/test_similarity.py.
 
-    def bands(col: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(col, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-
-    corpus = with_lsh_bucket(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        vec_col="vec",
-        dims=dims,
-    )
-    qs = with_lsh_bucket(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
-        ),
-        vec_col="vec",
-        dims=dims,
-    )
-    q_banded = qs.select(
-        "query_id", F.explode(bands(F.col("bucket"))).alias("bk")
-    ).select("query_id", "bk.band", "bk.val")
-    c_banded = corpus.select(
-        "id", "vec", F.explode(bands(F.col("bucket"))).alias("bk")
-    ).select("id", "vec", "bk.band", "bk.val")
-    cand = (
-        c_banded.join(F.broadcast(q_banded), ["band", "val"])
-        .filter(F.col("id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "id"])
-        .select("query_id", "id", "vec")
-    )
-
-    q_pdf = qs.select("query_id", "vec").toPandas()
+    r12 (guide §4.1, the ivf_topk fusion): the bounded query set's
+    buckets are computable driver-side with the SAME numpy ops as
+    with_lsh_bucket, so bucketing, band-membership matching (an OR over
+    bands — which also dedups multi-band collisions, replacing the old
+    dropDuplicates exchange), and the exact-cosine rerank fuse into ONE
+    mapInPandas pass over the corpus. The old shape paid two corpus
+    Python passes plus a broadcast band join and a (query, id) dedup
+    exchange. Float paths bit-identical; row-exact verified at
+    sf0.001/0.01/0.1."""
     import numpy as np
 
-    q_ids = q_pdf["query_id"].to_numpy()
-    q_mat = _unit_rows(q_pdf, "vec")
-    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    n_bands = NUM_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    signs = np.array(plane_signs(NUM_PLANES, dims), dtype="float64").T
+    weights = 1 << np.arange(NUM_PLANES, dtype="int64")
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy().astype("int64")
+    q_mat = _unit_rows(q_pdf, "vec")
+    q_raw = np.stack(q_pdf["vec"].to_numpy()).astype("float64")
+    # identical derivation to with_lsh_bucket's bucket_udf
+    q_bucket = ((q_raw @ signs >= 0) @ weights).astype("int32")
+    # per-band query values, shape (n_bands, n_queries)
+    q_band_vals = np.stack(
+        [(q_bucket >> (b * band_bits)) & mask for b in range(n_bands)]
+    ).astype("int64")
+
+    feat = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+
+    def cand_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf["id"].to_numpy()
             mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
-            norms = np.linalg.norm(mat, axis=1)
+            bucket = ((mat @ signs >= 0) @ weights).astype("int32")
+            match = np.zeros((len(ids), len(q_ids)), dtype=bool)
+            for b in range(n_bands):
+                cv = ((bucket.astype("int64") >> (b * band_bits)) & mask)
+                match |= cv[:, None] == q_band_vals[b][None, :]
+            rows, qrow = np.nonzero(match)
+            if not len(rows):
+                continue
+            keep = ids[rows] != q_ids[qrow]  # self-exclusion
+            rows, qrow = rows[keep], qrow[keep]
+            if not len(rows):
+                continue
+            sel = mat[rows]
+            norms = np.linalg.norm(sel, axis=1)
             norms[norms == 0] = 1.0
-            unit = mat / norms[:, None]
-            rows = np.array([q_index[int(q)] for q in pdf["query_id"]])
-            sims = np.einsum("ij,ij->i", unit, q_mat[rows])
+            unit = sel / norms[:, None]
+            sims = np.einsum("ij,ij->i", unit, q_mat[qrow])
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "nbr_id": pdf["id"],
+                    "query_id": q_ids[qrow],
+                    "nbr_id": ids[rows],
                     "cosine_sim": sims,
                 }
             )
 
-    scored = cand.mapInPandas(score, _TOPK_SCHEMA).withColumn(
+    scored = feat.mapInPandas(cand_score, _TOPK_SCHEMA).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )
     w = Window.partitionBy("query_id").orderBy(
