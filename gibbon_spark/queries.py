@@ -2995,7 +2995,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    from gibbon_spark.sources.tables import raw_schema as _raw_schema
+
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
