@@ -168,6 +168,7 @@ def main() -> None:
     names = list(qs)
     pass_totals: list[float] = []
     first_pass: dict[str, float] = {}
+    per_pass: list[dict[str, float]] = []
     for p in range(n_passes):
         pass_t: dict[str, float] = {}
         for i, name in enumerate(names):
@@ -183,6 +184,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             pass_t[name] = round(time.time() - t0, 4)
         pass_totals.append(round(sum(pass_t.values()), 4))
+        per_pass.append(pass_t)
         if p == 0:
             # verbatim pass-0 walls, captured BEFORE any min-merge, so the
             # published provenance field is genuinely first-pass (advisor
@@ -240,7 +242,7 @@ def main() -> None:
     cal_probes.append(_calibrate())  # end-of-run probe
     _totals = sorted(p[0] for p in cal_probes)
     _cal_now = _totals[len(_totals) // 2]
-    n_reruns = n_reruns_fast = 0
+    n_reruns = n_reruns_fast = n_fast_pass_agreed = 0
     if prev_queries:
         for name, t in list(timings.items()):
             pt = prev_queries.get(name, 0)
@@ -263,6 +265,23 @@ def main() -> None:
                 # and 2.9 s passes, 42 s confirm under load, 42 s
                 # published as a 2.1x "regression" on the round's
                 # biggest genuine improvement).
+                #
+                # second r12 measurement fix: with n_passes >= 2, a
+                # query that measured fast in EVERY full pass is already
+                # confirmed by independent same-run measurements — the
+                # skeptical confirm is a THIRD draw, and the confirm
+                # loop runs the flagged queries back-to-back at
+                # end-of-run, so one host-load burst there max-kept a
+                # whole STRETCH of genuinely faster queries (observed:
+                # first passes 0.47-1.21 s for 6 registry-adjacent
+                # queries published as 1.49-3.66 s; 24 fast-rescues, one
+                # burst). Two agreeing passes outvote one loaded
+                # confirm: keep the min, skip the rerun.
+                if n_passes > 1 and all(
+                    pp.get(name, float("inf")) < pt / 1.3 for pp in per_pass
+                ):
+                    n_fast_pass_agreed += 1
+                    continue
                 t2 = _rerun(name, max)
                 if t2 < pt / 1.3:
                     timings[name] = min(t, t2)
@@ -343,6 +362,7 @@ def main() -> None:
         "regressed": regressed,
         "n_reruns": n_reruns,
         "n_reruns_fast": n_reruns_fast,
+        "n_fast_pass_agreed": n_fast_pass_agreed,
         "disk_free_gb": disk_free_gb,
         "scratch_reaped": reaped,
         "n_passes": n_passes,
