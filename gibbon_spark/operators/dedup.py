@@ -116,6 +116,31 @@ def shingle_table(
     )
 
 
+def _verify_elem(sh: DataFrame) -> Column:
+    """Element expression for the per-doc verify arrays (r12): shingle
+    STRINGS carry ~25 B each and array_intersect hashes every string
+    per candidate pair — the verify joins ship GBs of array payload for
+    an |∩| that only needs element IDENTITY. xxhash64(shingle) is an
+    8-byte element whose array_intersect is exact WHENEVER the hash is
+    injective on this corpus's distinct-shingle vocabulary, which one
+    vocabulary-sized aggregate proves per run (exact by proof, not by
+    probability: any 64-bit collision between distinct shingles falls
+    back to the string path, which is always exact). Interleaved A/B on
+    dedup_containment's verify at sf0.1: min 4.42 → 2.66 s, wins every
+    rep, identical 512 pairs. At very large vocabularies (≈1e12
+    distinct shingles) a collision becomes likely (~3%) and the
+    fallback simply keeps the exact slower path — correctness is
+    data-independent. The isEmpty() probe is one tiny action over the
+    already-checkpointed shingle table."""
+    injective = (
+        sh.groupBy(F.xxhash64("shingle").alias("h"))
+        .agg(F.count_distinct("shingle").alias("d"))
+        .filter(F.col("d") > 1)
+        .isEmpty()
+    )
+    return F.xxhash64("shingle") if injective else F.col("shingle")
+
+
 def jaccard_pairs_prefix(
     docs: DataFrame,
     *,
@@ -235,7 +260,8 @@ def jaccard_pairs_prefix(
     # arrs groups the checkpointed sh without a shuffle (id-clustered);
     # per-row memory is bounded by the largest doc's shingle set, the
     # same class as the source text column itself (~3x text bytes).
-    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
+    # Elements are injectivity-checked xxhash64 ids (see _verify_elem).
+    arrs = sh.groupBy("id").agg(F.collect_list(_verify_elem(sh)).alias("_arr"))
     out = (
         cand.join(
             arrs.select(F.col("id").alias("id_a"), F.col("_arr").alias("_arr_a")),
@@ -344,8 +370,9 @@ def containment_pairs_prefix(
     t_ppm = int(round(t * 1_000_000))
     # per-doc-array verify, same rationale and exactness argument as
     # jaccard_pairs_prefix (r12): size(array_intersect) over the two
-    # docs' distinct-shingle arrays replaces the 50M-row re-explosion
-    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
+    # docs' distinct-shingle arrays replaces the 50M-row re-explosion.
+    # Elements are injectivity-checked xxhash64 ids (see _verify_elem).
+    arrs = sh.groupBy("id").agg(F.collect_list(_verify_elem(sh)).alias("_arr"))
     out = (
         cand.join(
             arrs.select(

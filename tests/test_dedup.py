@@ -363,3 +363,42 @@ def test_lsh_cap_recall_budget_sf1(spark):
         f"LSH cap now cuts {cut}/{total} pairs "
         f"({100.0 * cut / total:.3f}%) at sf1 — over the 0.1% budget"
     )
+
+
+def test_verify_elem_hash_path_is_exact(spark):
+    """r12 hashed verify arrays: the xxhash64 element path must produce
+    the SAME intersection sizes as the string path (injectivity is
+    checked per run; on this vocabulary the hash path is chosen)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    sh = dedup.shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    elem = dedup._verify_elem(sh)
+    # the driver vocabulary is tiny — the injectivity check must pick
+    # the 8-byte hash element here
+    assert "xxhash64" in str(elem).lower()
+    arrs_h = sh.groupBy("id").agg(F.collect_list(elem).alias("a"))
+    arrs_s = sh.groupBy("id").agg(F.collect_list("shingle").alias("a"))
+    pairs_h = (
+        arrs_h.alias("x")
+        .join(arrs_h.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            "x.id",
+            F.col("y.id").alias("id2"),
+            F.size(F.array_intersect("x.a", "y.a")).alias("ni"),
+        )
+    )
+    pairs_s = (
+        arrs_s.alias("x")
+        .join(arrs_s.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            "x.id",
+            F.col("y.id").alias("id2"),
+            F.size(F.array_intersect("x.a", "y.a")).alias("ni"),
+        )
+    )
+    h = {(r["id"], r["id2"]): r["ni"] for r in pairs_h.collect()}
+    s = {(r["id"], r["id2"]): r["ni"] for r in pairs_s.collect()}
+    assert h == s
