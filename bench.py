@@ -32,6 +32,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        cpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        cpus = 32
 
     # ---- disk preflight (round-11, after the r10 driver bench died on
     # "No space left on device"): reap stale scratch (leaked DuckDB
@@ -139,9 +143,14 @@ def main() -> None:
     # against — and persist to — their own sibling file, so a repeat
     # sf0.01 smoke run gets real regression flags instead of silently
     # empty ones, and can never clobber the cross-round sf0.1 baseline.
-    detail_path = os.path.join(
-        REPO, "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
-    )
+    # ... and CPU-keyed as well (round-13, verdict r12 ask #7): the r12
+    # driver's 8-core scaling run overwrote the canonical 32-core row,
+    # breaking the like-for-like regression detector. A run at a
+    # non-canonical core count reads/writes its own _c{n} sibling.
+    detail_name = "BENCH_DETAIL" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}"
+    if cpus != 32:
+        detail_name += f"_c{cpus}"
+    detail_path = os.path.join(REPO, detail_name + ".json")
     prev_queries: dict[str, float] = {}
     prev_cal = None
     try:
@@ -277,8 +286,20 @@ def main() -> None:
                 # queries published as 1.49-3.66 s; 24 fast-rescues, one
                 # burst). Two agreeing passes outvote one loaded
                 # confirm: keep the min, skip the rerun.
+                # round-13 (advisor r12): each pass must be fast under the
+                # HOST-NORMALIZED ratio too, not just raw — two back-to-back
+                # passes in one session share any warm-session effect, so
+                # the raw-only gate could publish a host-epoch min with no
+                # skeptical confirm.
                 if n_passes > 1 and all(
-                    pp.get(name, float("inf")) < pt / 1.3 for pp in per_pass
+                    pp.get(name, float("inf")) < pt / 1.3
+                    and (
+                        not prev_cal
+                        or (pp.get(name, float("inf")) / _cal_now)
+                        / (pt / prev_cal)
+                        < 1 / 1.3
+                    )
+                    for pp in per_pass
                 ):
                     n_fast_pass_agreed += 1
                     continue
@@ -353,6 +374,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "calibration_s": calibration_s,
         "calibration_shuffle_s": calibration_shuffle_s,
         "calibration_numpy_s": calibration_numpy_s,
@@ -382,6 +404,36 @@ def main() -> None:
             json.dump(detail, f)
     except Exception:  # noqa: BLE001 — persistence is best-effort
         pass
+    # ---- driver-survivable per-query chunks (round-13, verdict r12 ask
+    # #8): the driver keeps only a few-KB stdout tail, which cut the big
+    # detail line mid-object two rounds running and left PERF's
+    # per-query comparison empty. Re-emit the per-query map as multiple
+    # SMALL standalone-JSON lines (<2 KB each, alphabetical by query) so
+    # whatever suffix of stdout survives parses cleanly line-by-line.
+    # Each chunk carries sf/cpus/calibration so it is interpretable alone.
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for qname in sorted(timings):
+        chunk[qname] = timings[qname]
+        if len(json.dumps(chunk)) > 1500:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, ch in enumerate(chunks):
+        line = json.dumps(
+            {
+                "metric": "queries_chunk",
+                "part": i + 1,
+                "of": len(chunks),
+                "sf": sf,
+                "cpus": cpus,
+                "calibration_s": calibration_s,
+                "queries": ch,
+            }
+        )
+        assert len(line) < 2048, f"chunk line grew to {len(line)} bytes"
+        print(line)
     # final SMALL line (driver-parseable under tail truncation)
     summary = json.dumps(
         {
@@ -390,6 +442,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf,
+            "cpus": cpus,
             "n_queries": len(timings),
             "calibration_s": calibration_s,
             "calibration_spread": cal_spread,
