@@ -81,16 +81,18 @@ def _exact_avg(value: str):
 
     Trade-off (why this is OPT-IN, not the generic contract): the 4 dp
     pre-round quantizes sub-1e-4 magnitudes (values of 2e-5 average to
-    0) and the 1e-4-scaled long numerator (r12, see
-    ``gibbon_spark.functions.exact.scaled_long`` for the equivalence to
-    the decimal(24,4) reference form) holds |sum| < 9.2e14 in value
-    units. Fine for the oracle-paired gate queries' 2-dp money data;
-    wrong as a default for a generic library operator, which is why
+    0); the numerator is the 1e-4-scaled per-row long of
+    ``gibbon_spark.functions.exact.scaled_long`` (r12, see there for
+    the equivalence to the decimal(24,4) reference form) summed by the
+    split-long accumulator of ``money_exact_sum`` (r13 — the single
+    int64 sum died under ANSI at |sum| ≥ 9.2e14 value units). Fine for
+    the oracle-paired gate queries' 2-dp money data; wrong as a default
+    for a generic library operator, which is why
     ``summary``/``summary_by_series``/``resample`` default to plain
     ``F.avg``.
     """
     return F.round(
-        F.sum(exact_fns.scaled_long(F.col(value))).cast("double")
+        exact_fns.money_exact_sum(F.col(value)).cast("double")
         / F.lit(10000.0)
         / F.count(value)
         + F.lit(1e-9),

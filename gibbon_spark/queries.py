@@ -148,12 +148,7 @@ def money_sum(col, dp: int = 2):
     on the gate data and end-to-end by the oracle gate), but the
     per-row BigDecimal construction and the non-compact decimal(34,4)
     sum buffer become plain codegen long arithmetic: measured 2.3 s →
-    0.7 s on q1's 8-aggregate pass at sf0.1. The dp-place rounding
-    happens in integer space (:func:`_round_scaled_long`, exactly
-    BigDecimal HALF_UP), and the final ``q / 10^dp`` double division is
-    correctly rounded — the same double the decimal cast produced
-    (OpenJDK BigDecimal.doubleValue computes (double)unscaled/10^scale
-    for compact values, and is correctly rounded in general).
+    0.7 s on q1's 8-aggregate pass at sf0.1.
 
     Why not round AFTER a cast to double: at sf10 the big money sums
     reach ~1e13 where a double ULP is ~0.002, and the two engines'
@@ -162,15 +157,24 @@ def money_sum(col, dp: int = 2):
     Double.toString) while DuckDB rounds its exact binary value, e.g.
     decimal 10116031050223.8550 → double ...223.85499…, Spark .86 vs
     DuckDB .85 (caught by the round-9 sf10 oracle sweep on q1/q7).
-    Sum-domain bound: the long sum itself is exact through ~sf1500
-    (|Σ round(x,4)·1e4| < 2^63), and the final cast is single-rounded
-    while |q| < 2^53 — ~sf80 for the biggest TPC-H money sums (sf10,
-    the largest gate, sits at ~1e15, an order inside the bound). Past
-    that, return to the decimal(24,4) reference form this replaces."""
-    s = F.sum(exact_fns.scaled_long(col))
-    sc = 10 ** (4 - dp)
-    q = exact_fns.round_scaled_long(s, sc) if sc > 1 else s
-    return (q.cast("double") / F.lit(float(10**dp)))
+
+    Sum-domain bound (r13, widened): the r12 form summed the scaled
+    longs in a single int64, exact only through ~sf1500
+    (|Σ·10^4| < 2^63); past that ANSI raises ARITHMETIC_OVERFLOW and
+    the query dies — two orders below the 100 TB ≈ sf100000 target.
+    The accumulator is now the hi/lo split-long sum of
+    :func:`exact_fns.money_exact_sum` (see there for the domain,
+    ≈ sf10^10, and the 1.04× measured cost), recombined to an exact
+    ``decimal(38,0)`` per group. Post-sum, ``s/10000`` restores the
+    true money value exactly (decimal(38,6), scale-6 ≥ the value's
+    scale 4, so no rounding), ``round(·, dp)`` is decimal HALF_UP ==
+    the oracle's half-away-from-zero on the same exact value == the
+    r12 integer-space div trick, and the final decimal→double cast is
+    correctly rounded at ANY magnitude (OpenJDK BigDecimal.doubleValue
+    falls back to the exact path past 2^52) — bit-identical to the r12
+    ``(double)q / 10^dp`` wherever |q| < 2^53, i.e. every gate SF."""
+    s = exact_fns.money_exact_sum(col)
+    return F.round(s / F.lit(10000), dp).cast("double")
 
 
 def money_sum_sql(expr: str, dp: int = 2) -> str:
@@ -188,14 +192,19 @@ def exact_avg(col):
     ordered sum — observed at sf0.1; this form hashes identically at
     any parallelism. exact_avg_sql is the oracle twin.
 
-    The numerator is carried as the 1e-4-scaled BIGINT of
+    The numerator is carried as the 1e-4-scaled value of
     :func:`gibbon_spark.functions.exact.scaled_long` (r12, same
-    rationale and verified domain as money_sum); ``(double)S / 10000.0``
-    reproduces the reference ``decimal(24,4)→double`` cast bit-for-bit
-    (OpenJDK BigDecimal.doubleValue computes exactly this for compact
-    values), and everything after the cast is unchanged."""
+    rationale and verified domain as money_sum), summed by the hi/lo
+    split-long accumulator of ``money_exact_sum`` (r13 — the single
+    int64 sum died at ~sf1500, see money_sum); ``(double)S / 10000.0``
+    reproduces the
+    reference ``decimal(24,4)→double`` cast bit-for-bit (OpenJDK
+    BigDecimal.doubleValue computes exactly this for compact values;
+    the decimal→double cast of the widened sum is identical to the long
+    cast wherever the long sum didn't overflow), and everything after
+    the cast is unchanged."""
     return F.round(
-        F.sum(exact_fns.scaled_long(col)).cast("double") / F.lit(10000.0)
+        exact_fns.money_exact_sum(col).cast("double") / F.lit(10000.0)
         / F.count(col)
         + F.lit(1e-9),
         6,
