@@ -466,6 +466,14 @@ def lsh_topk(
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
     ).toPandas()
+    # degenerate-input guards (advisor r12): an empty query set must
+    # return an empty frame, not crash in np.stack; duplicate query_id
+    # rows would emit duplicate scored rows under the fused pass, so
+    # keep the first occurrence (the pre-fusion candidate dedup's
+    # semantics; gate inputs are unique so results are unchanged)
+    q_pdf = q_pdf.drop_duplicates(subset=["query_id"])
+    if not len(q_pdf):
+        return embeddings.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_ids = q_pdf["query_id"].to_numpy().astype("int64")
     q_mat = _unit_rows(q_pdf, "vec")
     q_raw = np.stack(q_pdf["vec"].to_numpy()).astype("float64")
@@ -730,6 +738,10 @@ def ivf_topk(
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
     ).toPandas()
+    # degenerate-input guards (advisor r12) — see lsh_topk
+    q_pdf = q_pdf.drop_duplicates(subset=["query_id"])
+    if not len(q_pdf):
+        return embeddings.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_ids = q_pdf["query_id"].to_numpy().astype("int64")
     q_mat = _unit_rows(q_pdf, "vec")
     q_int = np.floor(

@@ -44,6 +44,12 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 # pass re-infers the same 10 schemas ~460 times. No DATA is cached:
 # every scan still reads the parquet files, and the memo dies with the
 # process (nothing persists across bench/oracle invocations).
+# ASSUMPTION (advisor r12): the memo is only safe for IMMUTABLE
+# datasets — the bench/oracle fixtures never rewrite a table in place.
+# A table rewritten at the same path with a DIFFERENT schema mid-process
+# would be read with the stale explicit schema (parquet returns nulls
+# for columns missing from a supplied schema instead of erroring); set
+# GS_SCHEMA_MEMO=0 if you ever need to re-read mutated tables.
 _SCHEMA_CACHE: dict = {}
 
 
@@ -62,7 +68,27 @@ def raw_schema(spark: SparkSession, sf_dir: str, name: str):
     return _SCHEMA_CACHE[key]
 
 
+# Resolved DataFrame per (session, sf_dir, table) — the r13 sibling of
+# the schema memo one level up: plan METADATA, not data. A DataFrame is
+# a lazy analyzed plan plus a file index; every action over it still
+# scans the parquet files, so sharing one object across the ~460
+# load_table calls of a bench pass removes only the per-call
+# resolution constant (reader construction, file listing, nanos-ts
+# conversion analysis — measured ~10-15 ms/call with the schema memo
+# already in place) and nothing else. Keyed on the live SparkSession so
+# a stopped/recreated session never hands out stale plans; dies with
+# the process; same immutable-fixture assumption as the schema memo
+# (GS_DF_MEMO=0 restores the per-call path for measurement).
+_DF_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark, os.path.abspath(sf_dir), name)
+    if os.environ.get("GS_DF_MEMO", "1") == "0":  # measurement A/B hook
+        _DF_CACHE.pop(key, None)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(raw_schema(spark, sf_dir, name)).parquet(
         os.path.join(sf_dir, f"{name}.parquet")
@@ -70,6 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, []):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    _DF_CACHE[key] = df
     return df
 
 

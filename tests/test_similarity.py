@@ -172,3 +172,22 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"IVF recall {recall:.2f} not above random baseline"
     assert all(r.rank <= 5 for r in approx)
+
+
+def test_topk_degenerate_query_inputs(spark, embeddings):
+    """Advisor r12: an empty query set must return an empty frame (not
+    crash in np.stack), and duplicate query_id rows must not produce
+    duplicate scored rows under the fused single-pass shape."""
+    empty = embeddings.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert similarity.lsh_topk(embeddings, empty, k=5).count() == 0
+    assert similarity.ivf_topk(embeddings, empty, k=5).count() == 0
+
+    one = embeddings.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    doubled = one.unionAll(one)
+    base = similarity.lsh_topk(embeddings, one, k=5).collect()
+    dup = similarity.lsh_topk(embeddings, doubled, k=5).collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, base))

@@ -124,6 +124,7 @@ def main() -> int:
         n: v
         for n, v in per_q.items()
         if max(v["a"], v["b"]) > 0.5
+        and v["ratio_b_over_a"] is not None  # arm-A min of 0.0s (advisor r12)
         and (v["ratio_b_over_a"] < 1 / 1.15 or v["ratio_b_over_a"] > 1.15)
     }
     print(
