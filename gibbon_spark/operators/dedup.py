@@ -336,7 +336,8 @@ def containment_pairs_prefix(
     t = float(threshold)
     # Same five-consumer reuse as jaccard_pairs_prefix (see the measured
     # rationale there): materialize the shingle subtree once — freq,
-    # probe, idx, and both verify sides read the checkpointed blocks.
+    # the positioned table, and both verify sides read the checkpointed
+    # blocks.
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).transform(materialize, eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("id").orderBy("df", "shingle")
@@ -344,29 +345,55 @@ def containment_pairs_prefix(
     # −1e-9 guard as in jaccard_pairs_prefix: float ceil() must not
     # overshoot (a shorter prefix would lose pairs)
     min_shared = F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
-    probe = (
+    # ONE positioned table feeds both join sides (r13). The r12 shape
+    # positioned only the probe and gave the index side its own count
+    # window; r12's rejected positional-filter attempt then re-paid the
+    # freq join + rank window on the FULL index side. Sharing the
+    # positioned table gets index-side positions for free — the index's
+    # old count window is replaced by this rank+count window over the
+    # same exchange, and the probe is now a filter of the same
+    # checkpointed frame instead of its own window pass.
+    pos_tbl = (
         sh.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w_pos))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
-        .filter(F.col("pos") <= F.col("n_sh") - min_shared + 1)
-        .select("id", "shingle", "n_sh")
+        .select("id", "shingle", "pos", "n_sh")
+        .transform(materialize, eager=False)
     )
-    # Index side carries its own shingle count so the candidate join can
-    # apply the exact size prune: C(A→B) >= t implies |∩| >= ⌈t·|A|⌉ and
-    # |∩| <= |B|, so any container with |B| < ⌈t·|A|⌉ cannot qualify —
-    # prune it BEFORE the exact-intersection verify join (correctness was
-    # never affected, only verify-stage cost).
-    idx = sh.withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+    probe = pos_tbl.filter(F.col("pos") <= F.col("n_sh") - min_shared + 1)
+    # Asymmetric positional filter (r13, guide §3.4; the containment
+    # twin of jaccard's PPJoin filter): for C(A→B) ≥ t the pair needs
+    # |∩| ≥ α = ⌈t·|A|⌉, and every shared shingle sorts at or after the
+    # FIRST shared shingle in the global (df, shingle) order — in both
+    # docs — so a join row at positions (pA, pB) bounds the achievable
+    # overlap by 1 + min(|A|−pA, |B|−pB). A qualifying pair always
+    # survives via its first-shared-shingle row (where the bound ≥ the
+    # true |∩|), so pruning rows below α is lossless. α in exact integer
+    # arithmetic (t as parts-per-million, ⌈x/d⌉ = ⌊(x+d−1)/d⌋ for
+    # positive ints). Measured at sf0.1: candidates 809,749 → 660,346
+    # (−18%), identical 512 pairs, full-query interleaved A/B min
+    # 2.12 → 1.88 s winning every rep.
+    _t_ppm = int(round(t * 1_000_000))
+    _alpha = F.floor(
+        (F.lit(_t_ppm) * F.col("a.n_sh") + F.lit(999_999)) / F.lit(1_000_000)
+    )
+    _pos_ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
+    # The index side keeps the exact size prune: C(A→B) >= t implies
+    # |∩| >= ⌈t·|A|⌉ and |∩| <= |B|, so any container with
+    # |B| < ⌈t·|A|⌉ cannot qualify — pruned BEFORE the verify join.
     cand = (
         probe.alias("a")
         .join(
-            idx.alias("b"),
+            pos_tbl.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") != F.col("b.id"))
             & (
                 F.col("b.n_sh")
                 >= F.ceil(F.lit(t) * F.col("a.n_sh") - F.lit(1e-9))
-            ),
+            )
+            & (_pos_ub >= _alpha),
         )
         .select(
             F.col("a.id").alias("id_contained"),
