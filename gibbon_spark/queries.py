@@ -2950,32 +2950,50 @@ def _finite_replay(spark: SparkSession, df: DataFrame, *, mode: str) -> DataFram
 
     Replaces the memory sink for the replay queries: the memory sink
     funnels every output row through the driver and pins the whole
-    result under a temp view (2.9M session rows at sf3), while
-    ``foreachBatch`` writes each micro-batch executor-side to a scratch
-    parquet dir — ``overwrite`` for complete mode (every emission is
-    the full result, the last one wins) and ``append`` for
-    append/update modes (emissions are disjoint deltas / per-key
-    updates that downstream reconciliation folds) — and the caller gets
-    a clean parquet scan back. After termination the finished run's
-    loaded state-store providers are explicitly unloaded: the provider
-    cache is per-JVM and otherwise holds every dead replay's state maps
-    until a maintenance sweep, measured as multi-x slowdown of later
-    replays in one session. Scratch dirs live until process exit
-    (atexit sweep): deleting the previous dir when the next replay
+    result under a temp view (2.9M session rows at sf3). Each emitted
+    micro-batch is instead pinned executor-side via
+    ``localCheckpoint(eager=True)`` inside ``foreachBatch`` (r13):
+    rows stay distributed in block storage, there is no scratch-parquet
+    write + commit + re-scan round trip — interleaved A/B at sf0.1 won
+    every rep on all 7 replay queries, ratios 0.65–0.97, e.g.
+    streaming_sessions 1.21 → 0.79 s, hourly_rollup 1.01 → 0.71 s.
+    ``complete`` mode keeps the LAST emission (each is the full
+    result); append/update modes union the emissions (disjoint deltas /
+    per-key updates that downstream reconciliation folds). A batch is
+    only appended after its eager checkpoint completes, so a timed-out
+    half-finished batch can never be read. Like every materialize()
+    site, local checkpoint blocks are executor state — under
+    ``spark.gibbon.checkpoint.mode=reliable`` (the durable production
+    setting) the replay keeps the r12 scratch-parquet path so outputs
+    survive executor loss.
+
+    After termination the finished run's loaded state-store providers
+    are explicitly unloaded: the provider cache is per-JVM and
+    otherwise holds every dead replay's state maps until a maintenance
+    sweep, measured as multi-x slowdown of later replays in one
+    session. Parquet scratch dirs (reliable mode) live until process
+    exit (atexit sweep): deleting the previous dir when the next replay
     started turned any still-held prior result into a
-    FileNotFoundException on re-collect — the dirs are a few MB of
-    parquet each, so keeping them is the safe trade. On
-    awaitTermination timeout the query is stopped before the dir is
-    read, so a half-written batch cannot be scanned."""
+    FileNotFoundException on re-collect."""
     import tempfile
     import uuid
 
-    path = os.path.join(tempfile.gettempdir(), f"gs_replay_{uuid.uuid4().hex}")
-    _REPLAY_DIRS.append(path)
-    write_mode = "overwrite" if mode == "complete" else "append"
+    from gibbon_spark.materialize import _mode as _ckpt_mode
 
-    def _emit(bdf, _bid):
-        bdf.write.mode(write_mode).parquet(path)
+    durable = _ckpt_mode(df) == "reliable"
+    batches: list[DataFrame] = []
+    if durable:
+        path = os.path.join(tempfile.gettempdir(), f"gs_replay_{uuid.uuid4().hex}")
+        _REPLAY_DIRS.append(path)
+        write_mode = "overwrite" if mode == "complete" else "append"
+
+        def _emit(bdf, _bid):
+            bdf.write.mode(write_mode).parquet(path)
+
+    else:
+
+        def _emit(bdf, _bid):
+            batches.append(bdf.localCheckpoint(eager=True))
 
     q = (
         df.writeStream.foreachBatch(_emit)
@@ -2984,15 +3002,24 @@ def _finite_replay(spark: SparkSession, df: DataFrame, *, mode: str) -> DataFram
         .start()
     )
     if not q.awaitTermination(300):
-        q.stop()  # timed out: halt the writer before scanning the dir
+        q.stop()  # timed out: halt the writer before reading the output
         q.awaitTermination(30)
     try:
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:
         pass  # internal API — if it moves, we only lose the eager unload
-    if not os.path.exists(path):
+    if durable:
+        if not os.path.exists(path):
+            return spark.createDataFrame([], df.schema)
+        return spark.read.parquet(path)
+    if not batches:
         return spark.createDataFrame([], df.schema)
-    return spark.read.parquet(path)
+    if mode == "complete":
+        return batches[-1]
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
