@@ -154,8 +154,17 @@ def decode_image(media: DataFrame, *, codec: str = "gsraw") -> DataFrame:
                 b = bytes(payload) if payload is not None else b"\x00"
                 arr = np.frombuffer(b, dtype=np.uint8)
                 n = int(w) * int(h)
-                pixels = arr[np.arange(n, dtype=np.int64) % len(arr)]
-                lumas.append(float(pixels.sum(dtype=np.int64)) / n)
+                # closed form over the L-byte payload instead of
+                # materializing the n-pixel tiled buffer (r13, same
+                # identity and bit-exactness argument as decode_audio):
+                # index i tiles full+1 times for i < rem, full times
+                # otherwise, so Σpixels = full·Σ_base + Σ_prefix —
+                # the identical integer the tiled sum produced.
+                full, rem = divmod(n, len(arr))
+                s = full * int(arr.sum(dtype=np.int64)) + int(
+                    arr[:rem].sum(dtype=np.int64)
+                )
+                lumas.append(float(s) / n)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -204,13 +213,15 @@ def resize_image(
                 w, h = int(w), int(h)
                 b = bytes(payload) if payload is not None else b"\x00"
                 arr = np.frombuffer(b, dtype=np.uint8)
-                pixels = arr[np.arange(w * h, dtype=np.int64) % len(arr)]
-                img = pixels.reshape(h, w)
                 scale = min(tw / w, th / h)
                 ow, oh = int(w * scale), int(h * scale)
                 sy = (np.arange(oh, dtype=np.int64) * h) // oh
                 sx = (np.arange(ow, dtype=np.int64) * w) // ow
-                resized = img[sy[:, None], sx[None, :]]
+                # gather straight from the payload (r13): the tiled
+                # image has img[y, x] = arr[(y·w + x) % L], so indexing
+                # the ow×oh output grid directly skips materializing
+                # the w×h tiled buffer — identical pixel values.
+                resized = arr[(sy[:, None] * w + sx[None, :]) % len(arr)]
                 out_ws.append(ow)
                 out_hs.append(oh)
                 means.append(
@@ -376,15 +387,29 @@ def decode_audio(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b"\x80"
                 arr = np.frombuffer(b, dtype=np.uint8)
                 n = int(dur) * int(sr) // 1000
-                samples = arr[np.arange(n, dtype=np.int64) % len(arr)]
-                centered = samples.astype(np.int64) - 128
+                # closed form over the L-byte base buffer instead of
+                # materializing the n-sample tiled array (r13, guide
+                # §1.2 "don't compute things you throw away"): tiling
+                # arr[arange(n) % L] repeats base index i `full+1`
+                # times for i < rem and `full` times otherwise, so
+                # Σ = full·Σ_base + Σ_prefix — the SAME integer sums
+                # the tiled reduction produced (n_samples/L ≈ 100× at
+                # the fixture durations), and exactly the formula the
+                # SQL oracle replays. Statistics are bit-identical.
+                centered = arr.astype(np.int64) - 128
+                full, rem = divmod(n, len(arr))
+                sq = centered * centered
+                s1 = full * int(centered.sum()) + int(centered[:rem].sum())
+                s2 = full * int(sq.sum()) + int(sq[:rem].sum())
+                absc = np.abs(centered)
+                peak = int(absc.max()) if n >= len(arr) else int(absc[:n].max())
                 ns.append(n)
-                means.append(float(centered.sum()) / n)
+                means.append(float(s1) / n)
                 # sqrt of the quotient (NOT quotient of sqrts): the SQL
                 # oracle computes sqrt(S2/n); IEEE sqrt is correctly
                 # rounded, so this order is bit-identical to it
-                rmss.append((float((centered * centered).sum()) / n) ** 0.5)
-                peaks.append(int(np.abs(centered).max()))
+                rmss.append((float(s2) / n) ** 0.5)
+                peaks.append(peak)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
