@@ -925,6 +925,14 @@ def q_pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
+        # chunks feeds the keep aggregate AND the representative join:
+        # without a checkpoint the tokenize + window-explode + per-chunk
+        # md5 replays per consumer (ReuseExchange can't fire — the
+        # aggregate side's exchange carries partial-agg rows, not chunk
+        # rows). Same shared-subtree discipline as the dedup shingle
+        # table; interleaved A/B at sf0.1 wins every rep, min
+        # 1.30 → 0.49 s, identical 20 rows (r13).
+        .transform(materialize, eager=False)
     )
     keep = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("rep_doc"))
     flagged = chunks.join(keep, "chunk_hash").select(
