@@ -1966,72 +1966,53 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     # 4 md5 calls per ORDER, 8 independent 16-bit draws sliced from
-    # each. r13 (guide §1.2): the replica rollup is now COLUMNAR — one
-    # global aggregate with 3 sum columns per replica over the 150 k
-    # base rows — instead of the r12 shape's 32× explode into 4.8 M
-    # (row, replica) rows feeding a groupBy(b). Per-row branch work is
-    # unchanged (32 CASE draws per order either way; codegen
-    # subexpression elimination shares the 4 md5s across the 96
-    # aggregate updates — verified by timing), but the generate
-    # machinery and the per-replica shuffle rows disappear: interleaved
-    # A/B 1.73 → 1.39 s, identical output.
-    #
-    # Draw comparison done directly on the 4-char hex substring: Spark's
-    # md5 emits fixed-width lowercase hex, where lexicographic order IS
-    # numeric order ('0'-'9' < 'a'-'f' in ASCII), so `hex4 < '5e2d'` ⟺
-    # `conv(hex4,16,10) < 24109` — same k for every row, but a 4-byte
-    # string compare instead of a per-row radix conversion (r12: conv
-    # cost +1.5 s over the exploded rows at sf0.1; interleaved A/B
-    # full-query 3.06 → 2.18 s, identical output).
-    #
-    # Each replica's Σ k·cents rides the hi/lo split-long accumulator
-    # (functions/exact.money_exact_sum rationale): per-row k·cents ≤
-    # 6·|cents| < 2^43, buffers stay primitive longs, recombined in
-    # decimal(38,0) per replica after aggregation — exact to the same
-    # ~sf10^6+ domain as the money sums, vs the r12 decimal sum buffer.
+    # each — 8x fewer hash evaluations than hashing per (order, replica)
+    # row. The md5s are emitted AS GENERATE OUTPUTS (posexplode of the
+    # 4-hash array) so they are evaluated once per order inside the
+    # generator; a plain pre-explode projection gets CollapseProject-
+    # inlined under the Generate and silently re-hashes per replica row
+    # (measured 3x slower).
     md5s = F.array(
         *[
             F.md5(F.concat(F.col("okey").cast("string"), F.lit(f":{g}")))
             for g in range(_BOOT_B // 8)
         ]
     )
-    wide = base.select("cents", md5s.alias("hs"))
-    _M = 1 << 20
-    d38 = "decimal(38,0)"
-    aggs = []
-    for b in range(_BOOT_B):
-        g, i = b // 8, b % 8
-        s4 = F.substring(F.col("hs")[g], i * 4 + 1, 4)
-        # BRANCHLESS draw: the CDF cutoffs ascend, so "first bound the
-        # draw is below" == "count of bounds at or below the draw" —
-        # 7 flat comparisons summed instead of a 7-deep WHEN chain.
-        # Same k for every row; the flat form generates ~1/3 the
-        # codegen of 32 nested chains, which matters because the
-        # bench's 231 queries overflow the janino class cache and this
-        # plan recompiles cold every pass (measured cold 3.30 s with
-        # WHEN chains vs 2.21 s branchless; warm 1.49 vs 1.44).
-        k = sum(
-            (s4 >= format(bound, "04x")).cast("int") for bound in _POIS_BOUNDS
-        ) + F.lit(0)
-        v = k * F.col("cents")
-        aggs += [
-            F.sum(F.call_function("div", v, F.lit(_M))).alias(f"h_{b}"),
-            F.sum(v % F.lit(_M)).alias(f"l_{b}"),
-            F.sum(k).cast("bigint").alias(f"n_{b}"),
-        ]
-    row = wide.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                (F.col(f"h_{b}").cast(d38) * F.lit(_M) + F.col(f"l_{b}"))
-                .cast("double")
-                .alias("s"),
-                F.col(f"n_{b}").alias("n_eff"),
-            )
-            for b in range(_BOOT_B)
-        ]
+    groups = base.select("cents", F.posexplode(md5s).alias("g", "hval"))
+    expl = groups.select(
+        "cents",
+        "g",
+        "hval",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+    ).select(
+        "cents",
+        (F.col("g") * 8 + F.col("i")).alias("b"),
+        "hval",
+        "i",
     )
-    rep = row.select(F.explode(structs).alias("r")).select("r.s", "r.n_eff")
+    # Draw comparison done directly on the 4-char hex substring: Spark's
+    # md5 emits fixed-width lowercase hex, where lexicographic order IS
+    # numeric order ('0'-'9' < 'a'-'f' in ASCII), so `hex4 < '5e2d'` ⟺
+    # `conv(hex4,16,10) < 24109` — same k for every row, but a 4-byte
+    # string compare instead of a per-row radix conversion (r12: conv
+    # cost +1.5 s over the 4.8M exploded rows at sf0.1; interleaved A/B
+    # full-query 3.06 → 2.18 s, identical output).
+    s4 = F.expr("substr(hval, cast(i * 4 + 1 as int), 4)")
+    k = F.when(s4 < format(_POIS_BOUNDS[0], "04x"), 0)
+    for i, bound in enumerate(_POIS_BOUNDS[1:], start=1):
+        k = k.when(s4 < format(bound, "04x"), i)
+    k = k.otherwise(6)
+    d38 = "decimal(38,0)"
+    rep = (
+        expl.select("b", "cents", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("k") * F.col("cents")).cast(d38))
+            .cast("double")
+            .alias("s"),
+            F.sum("k").cast("bigint").alias("n_eff"),
+        )
+    )
     means = rep.filter(F.col("n_eff") > 0).select(
         F.floor(F.col("s") / F.col("n_eff") + 0.5)
         .cast("bigint")
